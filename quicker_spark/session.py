@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the sandbox stand-in for a multi-executor cluster: the same
+code runs unchanged under ``spark-submit --master yarn|k8s`` because every
+operator is expressed as DataFrame transformations + Arrow UDFs (no
+driver-side loops over data, no local filesystem assumptions beyond the
+configured warehouse/index paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app: str = "quicker_spark",
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
+    local cores. ``shuffle_partitions`` defaults to the core count — at
+    cluster scale this would instead be ~2-3x total executor cores (or left
+    to AQE coalescing, which is enabled).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores), 4)
+    if driver_memory is None:
+        driver_memory = os.environ.get("QS_DRIVER_MEMORY", "16g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from quicker_spark.fixtures import corpus_df, corpus_pdf, generate_batch
+from quicker_spark.functions.tokenize import tokenize_col, tokenize_py, tokenize_udf
+
+
+def test_corpus_deterministic_and_batch_independent():
+    a = corpus_pdf(50)
+    b = corpus_pdf(50)
+    assert a.equals(b)
+    # value of row i must not depend on batch boundaries
+    lo = generate_batch(np.arange(0, 25))
+    hi = generate_batch(np.arange(25, 50))
+    import pandas as pd
+
+    c = pd.concat([lo, hi], ignore_index=True)
+    assert a.equals(c)
+
+
+def test_corpus_schema_and_shape():
+    pdf = corpus_pdf(30)
+    assert list(pdf.columns) == ["repo", "path", "commit", "lang", "content"]
+    assert pdf["commit"].str.len().eq(40).all()
+    assert pdf["lang"].isin(["python", "go", "java", "js", "rust", "c"]).all()
+    # uniqueness of doc identity
+    assert not pdf.duplicated(["repo", "path", "commit"]).any()
+    # unique singleton token present
+    assert pdf["content"].iloc[7].endswith("uniq_7")
+
+
+def test_hot_tokens_are_skewed():
+    pdf = corpus_pdf(300)
+    hot = pdf["content"].str.contains(r"\bdef\b").mean()
+    assert hot > 0.3  # FIXTURES.md: hot tokens in >30% of docs
+
+
+@pytest.mark.usefixtures("spark")
+def test_corpus_df_matches_pdf_regardless_of_partitioning(spark):
+    pdf = corpus_pdf(80)
+    for parts in (1, 7):
+        got = (
+            corpus_df(spark, 80, partitions=parts)
+            .orderBy("repo", "path", "commit")
+            .toPandas()
+        )
+        want = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        assert got.equals(want)
+
+
+def test_tokenize_py_spec():
+    assert tokenize_py("Def foo(x_1, y):  return x_1+y") == [
+        "def", "foo", "x_1", "y", "return", "x_1", "y",
+    ]
+    assert tokenize_py("") == []
+    assert tokenize_py(None) == []
+
+
+@pytest.mark.usefixtures("spark")
+def test_tokenizers_agree(spark):
+    from pyspark.sql import functions as F
+
+    df = corpus_df(spark, 40, partitions=2).select("content")
+    both = df.select(
+        tokenize_col(F.col("content")).alias("a"),
+        tokenize_udf(F.col("content")).alias("b"),
+    )
+    mismatch = both.filter(F.col("a") != F.col("b")).count()
+    assert mismatch == 0
+    # and agree with the python tokenizer
+    rows = both.select("a").limit(5).collect()
+    texts = df.limit(5).collect()
+    for r, t in zip(rows, texts):
+        assert r["a"] == tokenize_py(t["content"])
