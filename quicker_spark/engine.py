@@ -1,0 +1,195 @@
+"""Query serving: boolean + BM25 top-k over the segmented index.
+
+The reference serves queries by gRPC scatter-gather over workers
+(reference: index_service/sentinel.go:137-187 — broadcast the query to all
+shards, gather, concatenate). Here Spark's own stage execution IS the
+scatter-gather: the postings scan is pruned to the query's terms (parquet
+row-group stats — postings files are sorted by term), each segment scores
+its shard in an Arrow kernel (``applyInPandas`` over ``groupBy(segment)``),
+and the driver-side merge is ``orderBy(score desc, doc_id asc).limit(k)``
+(Spark's TakeOrdered = partial per-partition top-k + final merge).
+
+Hydration (business payload lookup) is deferred until AFTER the top-k
+limit — the reference hydrates every match because it has no limit
+(index_service/indexer.go:126-157); deferring it keeps the forward-index
+join proportional to k, not to the match count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quicker_spark.functions.kernels import (
+    EncodedPostings,
+    eval_bool_tree,
+    filter_by_bits_vec,
+    score_segment_exhaustive,
+    score_segment_wand,
+)
+from quicker_spark.model import bm25_idf
+from quicker_spark.plans.term_query import TermQuery
+
+
+def _row_to_encoded(row: pd.Series, block_size: int) -> EncodedPostings:
+    return EncodedPostings(
+        df=int(row["df"]),
+        ids=bytes(row["ids"]), tfs=bytes(row["tfs"]),
+        dls=bytes(row["dls"]), bits=bytes(row["bits"]),
+        block_last=np.asarray(row["block_last"], dtype=np.int64),
+        block_max_u=np.asarray(row["block_max_u"], dtype=np.float64),
+        off_ids=np.asarray(row["off_ids"], dtype=np.int64),
+        off_tfs=np.asarray(row["off_tfs"], dtype=np.int64),
+        off_dls=np.asarray(row["off_dls"], dtype=np.int64),
+        off_bits=np.asarray(row["off_bits"], dtype=np.int64),
+        block_size=block_size,
+    )
+
+
+def _is_flat_or(q: TermQuery) -> bool:
+    if q.keyword:
+        return True
+    return bool(q.should) and all(c.keyword for c in q.should)
+
+
+def _make_topk_kernel(query_json: str, idf: dict[str, float], avgdl: float,
+                      k: int, on: int, off: int, or_flags: tuple,
+                      k1: float, b: float, block_size: int, use_wand: bool):
+    query = json.loads(query_json)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        if use_wand:
+            postings = {r["term"]: _row_to_encoded(r, block_size)
+                        for _, r in pdf.iterrows()}
+            ids, scores = score_segment_wand(
+                postings, idf, avgdl, k, on, off, or_flags, k1, b)
+        else:
+            decoded = {r["term"]: _row_to_encoded(r, block_size).decode_all()
+                       for _, r in pdf.iterrows()}
+            ids, scores = score_segment_exhaustive(
+                query, decoded, idf, avgdl, k, on, off, or_flags, k1, b)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return kernel
+
+
+def _make_bool_kernel(query_json: str, on: int, off: int, or_flags: tuple,
+                      block_size: int):
+    query = json.loads(query_json)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        leaf_ids: dict[str, np.ndarray] = {}
+        for _, r in pdf.iterrows():
+            ids, _tfs, _dls, bits = _row_to_encoded(r, block_size).decode_all()
+            m = filter_by_bits_vec(bits, on, off, or_flags)
+            leaf_ids[r["term"]] = ids[m]
+        out = eval_bool_tree(query, leaf_ids)
+        return pd.DataFrame({"doc_id": out})
+
+    return kernel
+
+
+class SearchEngine:
+    """Load an index directory built by :func:`quicker_spark.operators.build.build_index`."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            self.stats = json.load(fh)
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._docs: DataFrame | None = None
+
+    # -- forward index -----------------------------------------------------
+    @property
+    def docs(self) -> DataFrame:
+        if self._docs is None:
+            self._docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return self._docs
+
+    def count(self) -> int:
+        """Indexed doc count (reference: Indexer.Count, indexer.go:60-67)."""
+        return self.docs.count()
+
+    # -- helpers ------------------------------------------------------------
+    def _idf(self, terms: set[str]) -> dict[str, float]:
+        rows = (
+            self.term_stats.filter(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        n = self.stats["n_docs"]
+        return {r["term"]: bm25_idf(n, int(r["df_global"])) for r in rows}
+
+    def _postings_for(self, terms: set[str]) -> DataFrame:
+        # isin pushes down to parquet row groups (postings sorted by term)
+        return self.postings.filter(F.col("term").isin(list(terms)))
+
+    # -- search -------------------------------------------------------------
+    def search(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
+               or_flags: tuple = (), mode: str = "auto",
+               hydrate: bool = False) -> DataFrame:
+        """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
+        doc_id asc); with ``hydrate`` also the business columns.
+
+        mode: 'wand' (block-max WAND; flat OR queries), 'taat'
+        (exhaustive vectorized), 'auto' (wand when the query shape allows).
+        """
+        terms = q.terms()
+        if not terms:
+            return self._empty_hits(hydrate)
+        use_wand = (mode == "wand") or (mode == "auto" and _is_flat_or(q))
+        idf = self._idf(terms)
+        kern = _make_topk_kernel(
+            q.to_json(), idf, float(self.stats["avgdl"]), k, on, off,
+            tuple(or_flags), self.stats["k1"], self.stats["b"],
+            self.stats["block_size"], use_wand,
+        )
+        seg_hits = (
+            self._postings_for(terms)
+            .groupBy("segment_id")
+            .applyInPandas(kern, "doc_id long, score double")
+        )
+        hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self.hydrate(hits) if hydrate else hits
+
+    def search_bool(self, q: TermQuery, on: int = 0, off: int = 0,
+                    or_flags: tuple = (), hydrate: bool = False) -> DataFrame:
+        """All boolean matches, ascending doc_id — the reference's Search
+        contract (returns every match, no ranking;
+        skiplist_reverse_index.go:214-227)."""
+        terms = q.terms()
+        if not terms:
+            return self._empty_bool(hydrate)
+        kern = _make_bool_kernel(q.to_json(), on, off, tuple(or_flags),
+                                 self.stats["block_size"])
+        out = (
+            self._postings_for(terms)
+            .groupBy("segment_id")
+            .applyInPandas(kern, "doc_id long")
+            .orderBy("doc_id")
+        )
+        return self.hydrate(out) if hydrate else out
+
+    def hydrate(self, hits: DataFrame) -> DataFrame:
+        """Forward-index join (reference: BatchGet + decode,
+        indexer.go:126-157). hits is small post-limit -> broadcast it."""
+        payload = self.docs.select(
+            "doc_id", "id", "repo", "path", "commit", "lang", "doc_sha")
+        return F.broadcast(hits).join(payload, "doc_id", "inner")
+
+    def _empty_hits(self, hydrate: bool) -> DataFrame:
+        df = self.spark.createDataFrame([], "doc_id long, score double")
+        return self.hydrate(df) if hydrate else df
+
+    def _empty_bool(self, hydrate: bool) -> DataFrame:
+        df = self.spark.createDataFrame([], "doc_id long")
+        return self.hydrate(df) if hydrate else df

@@ -1,0 +1,427 @@
+"""Numpy posting-list kernels (no Spark imports — unit-testable).
+
+These run on executors inside Arrow UDFs. The posting layout recreates the
+reference's denormalized posting value — each entry carries its doc's
+BitsFeature next to the id (reference:
+internal/reverse_index/skiplist_reverse_index.go:22-25 ``SkipListValue{Id,
+BitsFeature}``) — extended with tf and doc_len so BM25 is computable from
+the posting run alone, with no segment-sidecar join at query time (at
+10^12-doc scale a per-query join against per-segment doc tables would
+shuffle far more than the postings themselves).
+
+Layout per (segment, term): postings are split into blocks of
+``block_size`` entries. Each of the four aligned streams (doc_ids, tfs,
+doc_lens, bits) is varbyte-encoded per block; doc_ids are delta-encoded
+with the delta chain RESTARTING at each block (first id of a block is
+absolute) so any block decodes independently — that's what lets block-max
+WAND skip blocks without touching their bytes. Per-block metadata: last
+doc_id (skip pointer) + max BM25 tf/length-component (the WAND bound) +
+byte offsets into each stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from quicker_spark.functions.codec import delta_encode, varbyte_decode, varbyte_encode
+from quicker_spark.model import B, K1
+
+DEFAULT_BLOCK = 128
+
+
+def bm25_u(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+           k1: float = K1, b: float = B) -> np.ndarray:
+    """Per-posting tf/length component; score = idf * u. Fixed float64
+    expression order (rank-identity across partitionings/engines)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+@dataclass
+class EncodedPostings:
+    """One (segment, term) posting run in its stored form."""
+
+    df: int
+    ids: bytes
+    tfs: bytes
+    dls: bytes
+    bits: bytes
+    block_last: np.ndarray   # int64[n_blocks]
+    block_max_u: np.ndarray  # float64[n_blocks], admissible upper bound
+    off_ids: np.ndarray      # int32[n_blocks+1] byte offsets (end sentinel)
+    off_tfs: np.ndarray
+    off_dls: np.ndarray
+    off_bits: np.ndarray
+    block_size: int = DEFAULT_BLOCK
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_last)
+
+    def block_n(self, blk: int) -> int:
+        if blk < self.n_blocks - 1:
+            return self.block_size
+        return self.df - blk * self.block_size
+
+    def decode_block_ids(self, blk: int) -> np.ndarray:
+        """Ascending doc_ids of one block (decodes only the id stream)."""
+        d = varbyte_decode(self.ids[self.off_ids[blk]:self.off_ids[blk + 1]])
+        return np.cumsum(d, dtype=np.uint64).astype(np.int64)
+
+    def decode_block_vals(self, blk: int):
+        """-> (tfs, dls, bits) of one block."""
+        tfs = varbyte_decode(self.tfs[self.off_tfs[blk]:self.off_tfs[blk + 1]]).astype(np.int64)
+        dls = varbyte_decode(self.dls[self.off_dls[blk]:self.off_dls[blk + 1]]).astype(np.int64)
+        bts = varbyte_decode(self.bits[self.off_bits[blk]:self.off_bits[blk + 1]]).astype(np.int64)
+        return tfs, dls, bts
+
+    def decode_block(self, blk: int):
+        """-> (ids, tfs, dls, bits) numpy arrays for one block."""
+        return (self.decode_block_ids(blk), *self.decode_block_vals(blk))
+
+    def decode_all(self):
+        """Vectorized full decode -> (ids, tfs, dls, bits)."""
+        deltas = varbyte_decode(self.ids)
+        c = np.cumsum(deltas, dtype=np.uint64)
+        n = self.df
+        starts = np.arange(0, n, self.block_size)
+        # within a block: abs[j] = c[j] - (c[start] - delta[start])
+        corr = c[starts] - deltas[starts]
+        ids = (c - np.repeat(corr, np.diff(np.append(starts, n)))).astype(np.int64)
+        tfs = varbyte_decode(self.tfs).astype(np.int64)
+        dls = varbyte_decode(self.dls).astype(np.int64)
+        bts = varbyte_decode(self.bits).astype(np.int64)
+        return ids, tfs, dls, bts
+
+
+def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    bits: np.ndarray, avgdl: float, k1: float = K1,
+                    b: float = B, block_size: int = DEFAULT_BLOCK) -> EncodedPostings:
+    """Encode one (segment, term) run. ``ids`` must be strictly ascending."""
+    n = len(ids)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    u = bm25_u(np.asarray(tfs), np.asarray(dls), avgdl, k1, b)
+    starts = np.arange(0, n, block_size)
+    n_blocks = len(starts)
+    ends = np.append(starts[1:], n)
+
+    id_chunks, tf_chunks, dl_chunks, bit_chunks = [], [], [], []
+    off_ids = np.zeros(n_blocks + 1, dtype=np.int32)
+    off_tfs = np.zeros(n_blocks + 1, dtype=np.int32)
+    off_dls = np.zeros(n_blocks + 1, dtype=np.int32)
+    off_bits = np.zeros(n_blocks + 1, dtype=np.int32)
+    block_last = np.empty(n_blocks, dtype=np.int64)
+    block_max_u = np.empty(n_blocks, dtype=np.float64)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        blk_ids = ids[s:e].astype(np.uint64)
+        id_chunks.append(varbyte_encode(delta_encode(blk_ids)))
+        tf_chunks.append(varbyte_encode(np.asarray(tfs[s:e], dtype=np.uint64)))
+        dl_chunks.append(varbyte_encode(np.asarray(dls[s:e], dtype=np.uint64)))
+        bit_chunks.append(varbyte_encode(np.asarray(bits[s:e], dtype=np.uint64)))
+        off_ids[i + 1] = off_ids[i] + len(id_chunks[-1])
+        off_tfs[i + 1] = off_tfs[i] + len(tf_chunks[-1])
+        off_dls[i + 1] = off_dls[i] + len(dl_chunks[-1])
+        off_bits[i + 1] = off_bits[i] + len(bit_chunks[-1])
+        block_last[i] = ids[e - 1]
+        # nextafter-up keeps the bound admissible under any float reordering
+        block_max_u[i] = np.nextafter(u[s:e].max(), np.inf)
+    return EncodedPostings(
+        df=n, ids=b"".join(id_chunks), tfs=b"".join(tf_chunks),
+        dls=b"".join(dl_chunks), bits=b"".join(bit_chunks),
+        block_last=block_last, block_max_u=block_max_u,
+        off_ids=off_ids, off_tfs=off_tfs, off_dls=off_dls, off_bits=off_bits,
+        block_size=block_size,
+    )
+
+
+# -- vectorized predicates / set ops -----------------------------------------
+
+def filter_by_bits_vec(bits: np.ndarray, on: int = 0, off: int = 0,
+                       or_flags=()) -> np.ndarray:
+    """Vectorized reference bit predicate (skiplist_reverse_index.go:158-171)."""
+    m = (bits & on) == on
+    m &= (bits & off) == 0
+    for f in or_flags:
+        m &= (bits & f) != 0
+    return m
+
+
+def intersect_many(arrays: list[np.ndarray]) -> np.ndarray:
+    """k-way intersection of ascending int64 arrays — same contract as the
+    reference's IntersectionOfSkipList (0 lists -> empty, 1 -> itself,
+    early-exit on empty; skiplist_reverse_index.go:77-130)."""
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    out = arrays[0]
+    for a in arrays[1:]:
+        if out.size == 0:
+            return out
+        out = out[np.isin(out, a, assume_unique=True)]
+    return out
+
+
+def union_many(arrays: list[np.ndarray]) -> np.ndarray:
+    """Dedup union in ascending order (UnionOfSkipList, :133-156)."""
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(arrays))
+
+
+# -- exhaustive (term-at-a-time) scorer ---------------------------------------
+
+def eval_bool_tree(node: dict, leaf_ids: dict[str, np.ndarray]) -> np.ndarray:
+    """Evaluate a TermQuery dict over per-term candidate id arrays."""
+    if "keyword" in node:
+        kw = node["keyword"]
+        key = f"{kw.get('field','')}\x01{kw.get('word','')}"
+        return leaf_ids.get(key, np.empty(0, dtype=np.int64))
+    if "must" in node:
+        return intersect_many([eval_bool_tree(c, leaf_ids) for c in node["must"]])
+    if "should" in node:
+        return union_many([eval_bool_tree(c, leaf_ids) for c in node["should"]])
+    return np.empty(0, dtype=np.int64)
+
+
+def score_segment_exhaustive(
+    query: dict,
+    term_postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    on: int = 0,
+    off: int = 0,
+    or_flags=(),
+    k1: float = K1,
+    b: float = B,
+):
+    """Boolean-filter + BM25-score one segment, vectorized TAAT.
+
+    ``term_postings``: term -> decoded (ids, tfs, dls, bits), ids ascending.
+    Returns (doc_ids, scores) of the segment-local top-k, ordered by
+    (score desc, doc_id asc).
+    """
+    filtered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    leaf_ids: dict[str, np.ndarray] = {}
+    for t, (ids, tfs, dls, bits) in term_postings.items():
+        m = filter_by_bits_vec(bits, on, off, or_flags)
+        fids = ids[m]
+        leaf_ids[t] = fids
+        filtered[t] = (fids, bm25_u(tfs[m], dls[m], avgdl, k1, b))
+
+    cands = eval_bool_tree(query, leaf_ids)
+    if cands.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    scores = np.zeros(cands.size, dtype=np.float64)
+    for t in sorted(filtered):  # fixed summation order
+        fids, u = filtered[t]
+        if fids.size == 0:
+            continue
+        pos = np.searchsorted(fids, cands)
+        pos_c = np.clip(pos, 0, fids.size - 1)
+        hit = fids[pos_c] == cands
+        scores[hit] += idf.get(t, 0.0) * u[pos_c[hit]]
+
+    if cands.size > k:
+        # threshold-select (keeps ALL boundary ties), then sort survivors
+        kth = np.partition(-scores, k - 1)[k - 1]
+        keep = np.nonzero(-scores <= kth)[0]
+    else:
+        keep = np.arange(cands.size)
+    order = keep[np.lexsort((cands[keep], -scores[keep]))][:k]
+    return cands[order], scores[order]
+
+
+# -- block-max WAND top-k (disjunctive queries) --------------------------------
+
+class _WandCursor:
+    """Per-term posting cursor with lazy block decode + skip pointers."""
+
+    __slots__ = ("enc", "idf", "blk", "pos", "ids", "vals", "exhausted", "ub")
+
+    def __init__(self, enc: EncodedPostings, idf: float):
+        self.enc = enc
+        self.idf = idf
+        self.blk = 0
+        self.pos = 0
+        self.ids = enc.decode_block_ids(0)
+        self.vals = None  # (tfs, dls, bits) decoded lazily on scoring
+        self.exhausted = enc.df == 0
+        # term-level upper bound for WAND pivoting
+        self.ub = idf * float(enc.block_max_u.max()) if enc.df else 0.0
+
+    def cur_doc(self) -> int:
+        return int(self.ids[self.pos]) if not self.exhausted else np.iinfo(np.int64).max
+
+    def cur_block_ub(self) -> float:
+        return self.idf * float(self.enc.block_max_u[self.blk])
+
+    def _enter_block(self, blk: int):
+        if blk >= self.enc.n_blocks:
+            self.exhausted = True
+            return
+        self.blk = blk
+        self.ids = self.enc.decode_block_ids(blk)
+        self.vals = None
+        self.pos = 0
+
+    def seek(self, target: int):
+        """Advance to the first posting with doc_id >= target."""
+        if self.exhausted:
+            return
+        if target > int(self.enc.block_last[self.blk]):
+            nxt = int(np.searchsorted(self.enc.block_last, target, side="left"))
+            self._enter_block(nxt)
+            if self.exhausted:
+                return
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # defensive; block_last guarantees not
+            self._enter_block(self.blk + 1)
+
+    def seek_shallow(self, target: int):
+        """Block-level skip: jump to the block that may contain ``target``
+        WITHOUT decoding intermediate blocks (the block-max WAND move)."""
+        if self.exhausted:
+            return
+        nxt = int(np.searchsorted(self.enc.block_last, target, side="left"))
+        if nxt != self.blk:
+            self._enter_block(nxt)
+            if self.exhausted:
+                return
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):
+            self._enter_block(self.blk + 1)
+
+    def score_at(self, doc: int, avgdl: float, k1: float, b: float,
+                 on: int, off: int, or_flags):
+        """(contribution, passes_flags) if cur_doc == doc else (0, None)."""
+        if self.exhausted or int(self.ids[self.pos]) != doc:
+            return 0.0, None
+        if self.vals is None:
+            self.vals = self.enc.decode_block_vals(self.blk)
+        tfs, dls, bts = self.vals
+        bitv = int(bts[self.pos])
+        ok = (bitv & on) == on and (bitv & off) == 0
+        if ok:
+            for f in or_flags:
+                if bitv & f == 0:
+                    ok = False
+                    break
+        if not ok:
+            return 0.0, False
+        u = float(bm25_u(tfs[self.pos:self.pos + 1], dls[self.pos:self.pos + 1],
+                         avgdl, k1, b)[0])
+        return self.idf * u, True
+
+    def advance(self):
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self._enter_block(self.blk + 1)
+
+
+def score_segment_wand(
+    postings: dict[str, EncodedPostings],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    on: int = 0,
+    off: int = 0,
+    or_flags=(),
+    k1: float = K1,
+    b: float = B,
+):
+    """Block-max WAND top-k over a flat OR-of-terms query in one segment.
+
+    Lossless for (score desc, doc_id asc) top-k: docs are emitted in
+    ascending id order, so with the heap keyed (score, -doc_id) an
+    equal-score later doc can never displace an earlier one, and the
+    standard strict ``ub > threshold`` pivot condition preserves exact
+    tie-breaking. Block maxima are nextafter-rounded up at build, so the
+    bound is admissible. Strictly stronger pruning than the reference's
+    early-exit-on-exhaustion (skiplist_reverse_index.go:112-126).
+
+    Returns (doc_ids, scores) ordered by (score desc, doc_id asc).
+    """
+    import heapq
+
+    cursors = [_WandCursor(enc, idf.get(t, 0.0)) for t, enc in postings.items()
+               if enc.df > 0]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    INF = np.iinfo(np.int64).max
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+
+        # WAND pivot: first prefix whose ub sum exceeds theta
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc > theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no doc can beat the threshold
+        pivot = live[pivot_idx].cur_doc()
+        if pivot == INF:
+            break
+
+        if live[0].cur_doc() == pivot:
+            # all prefix terms aligned on pivot: block-max refinement
+            bm = 0.0
+            j = pivot_idx
+            while j < len(live) and live[j].cur_doc() == pivot:
+                j += 1
+            for c in live[:j]:
+                bm += c.cur_block_ub()
+            if bm > theta:
+                score = 0.0
+                any_pass = False
+                aligned = [c for c in live[:j]]
+                # fixed summation order for rank identity
+                aligned_scores = []
+                for c in aligned:
+                    contrib, passed = c.score_at(pivot, avgdl, k1, b, on, off, or_flags)
+                    if passed:
+                        any_pass = True
+                    aligned_scores.append(contrib)
+                score = float(np.sum(np.array(aligned_scores, dtype=np.float64)))
+                if any_pass:
+                    item = (score, -pivot)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                for c in aligned:
+                    c.advance()
+            else:
+                # block-level skip: jump past the nearest block boundary,
+                # clamped to the next list's current doc — docs in between
+                # draw only on lists[:j], whose block-max sum can't beat
+                # theta (Ding & Suel BMW GetNewCandidate)
+                boundary = min(int(c.enc.block_last[c.blk]) for c in live[:j]
+                               if not c.exhausted)
+                target = boundary + 1
+                if j < len(live):
+                    target = min(target, live[j].cur_doc())
+                if target <= pivot:
+                    target = pivot + 1
+                for c in live[:j]:
+                    c.seek_shallow(max(target, c.cur_doc()))
+        else:
+            # advance pre-pivot terms up to the pivot
+            for c in live[:pivot_idx]:
+                if c.cur_doc() < pivot:
+                    c.seek(pivot)
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    doc_ids = np.array([-d for _, d in out], dtype=np.int64)
+    scores = np.array([s for s, _ in out], dtype=np.float64)
+    return doc_ids, scores

@@ -1,0 +1,264 @@
+"""Index build: salted two-phase posting construction, checkpointed waves.
+
+Dataflow per wave of segments (each stage is a DataFrame op — Catalyst
+plans it, AQE handles runtime sizing):
+
+1. explode field-namespaced terms from the forward index rows
+2. ``groupBy(segment, term, doc).count()`` -> term frequencies
+   (map-side partial aggregation; key includes doc_id so it cannot skew)
+3. **salted partial lists**: ``groupBy(segment, term, salt)`` with
+   ``salt = doc_id % n_salts`` -> sorted partial posting arrays. This is
+   the skew-defeating two-phase merge the north rule mandates: a hot term
+   ("def" lands in >30% of docs) is split across ``n_salts`` reducers
+   instead of hammering one.
+4. **merge**: ``groupBy(segment, term)`` over the ≤ n_salts partial arrays,
+   ``sort_array(flatten(...))`` -> the segment's full sorted posting run
+   (bounded by seg_docs, so no single reducer ever sees more than one
+   segment's worth of one term).
+5. encode to the block-compressed layout (Arrow pandas UDF over aligned
+   primitive arrays — no per-row Python).
+
+Segmentation itself is the coarse salt: a term's GLOBAL posting list is
+partitioned across segments by doc_id range (the reference shards docs
+across workers the same way, demo/job/build_index.go:51), so nothing ever
+materializes a planet-sized single list.
+
+Resume: segments are processed in waves; each wave writes its postings and
+its manifest rows to wave-scoped directories with overwrite semantics, so
+a killed build redoes at most one wave and skips all manifested segments
+(north-rule checkpoint/lineage requirement). The reference instead replays
+its whole KV store on restart (index_service/indexer.go:42-58).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quicker_spark.functions.kernels import DEFAULT_BLOCK, encode_postings
+from quicker_spark.functions.tokenize import tokenize_col, tokenize_udf
+from quicker_spark.model import B, K1
+from quicker_spark.operators.docs import prepare_docs
+
+
+@dataclass
+class IndexConfig:
+    seg_docs: int = 100_000          # docs per segment (doc_id range)
+    n_salts: int = 16                # intra-segment salt fan-out for hot terms
+    block_size: int = DEFAULT_BLOCK  # postings per compressed block
+    k1: float = K1
+    b: float = B
+    wave_segments: int = 64          # segments per checkpointed build wave
+    fields: tuple[str, ...] = ("content", "repo", "path", "lang")
+    use_arrow_tokenizer: bool = True  # pandas UDF (north rule) vs Catalyst split
+    n_parts: int | None = None       # doc-id assignment parallelism
+
+
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("df", T.LongType()),
+    T.StructField("ids", T.BinaryType()),
+    T.StructField("tfs", T.BinaryType()),
+    T.StructField("dls", T.BinaryType()),
+    T.StructField("bits", T.BinaryType()),
+    T.StructField("block_last", T.ArrayType(T.LongType())),
+    T.StructField("block_max_u", T.ArrayType(T.DoubleType())),
+    T.StructField("off_ids", T.ArrayType(T.IntegerType())),
+    T.StructField("off_tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("off_dls", T.ArrayType(T.IntegerType())),
+    T.StructField("off_bits", T.ArrayType(T.IntegerType())),
+])
+
+
+def _encode_udf(avgdl: float, k1: float, b: float, block_size: int):
+    """Arrow UDF: aligned primitive arrays -> block-compressed layout."""
+
+    @F.pandas_udf(POSTINGS_SCHEMA)
+    def enc(doc_ids: pd.Series, tfs: pd.Series, dls: pd.Series,
+            bits: pd.Series) -> pd.DataFrame:
+        rows = []
+        for di, tf, dl, bt in zip(doc_ids, tfs, dls, bits):
+            e = encode_postings(di, tf, dl, bt, avgdl, k1, b, block_size)
+            rows.append((e.df, e.ids, e.tfs, e.dls, e.bits,
+                         e.block_last, e.block_max_u,
+                         e.off_ids, e.off_tfs, e.off_dls, e.off_bits))
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return enc
+
+
+def _terms_col(cfg: IndexConfig):
+    """array<string> of field-namespaced terms for one doc (single pass)."""
+    tok = tokenize_udf if cfg.use_arrow_tokenizer else tokenize_col
+    parts = []
+    for f_name in cfg.fields:
+        if f_name == "lang":
+            parts.append(F.array(F.concat(F.lit("lang\x01"), F.col("lang"))))
+        else:
+            parts.append(
+                F.transform(tok(F.col(f_name)),
+                            lambda t: F.concat(F.lit(f_name + "\x01"), t))
+            )
+    return F.concat(*parts)
+
+
+def wave_postings(docs_wave: DataFrame, cfg: IndexConfig, avgdl: float) -> DataFrame:
+    """The 5-stage posting build for one wave of segments."""
+    toks = docs_wave.select(
+        "segment_id", "doc_id", F.col("doc_len").alias("dl"),
+        F.col("bits_feature").alias("bitsf"),
+        F.explode(_terms_col(cfg)).alias("term"),
+    )
+    tf = toks.groupBy("segment_id", "term", "doc_id", "dl", "bitsf").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    partial = (
+        tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
+        .groupBy("segment_id", "term", "salt")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("doc_id", "tf", "dl", "bitsf"))).alias("plist"))
+    )
+    merged = partial.groupBy("segment_id", "term").agg(
+        F.sort_array(F.flatten(F.collect_list("plist"))).alias("plist")
+    )
+    cols = merged.select(
+        "segment_id", "term",
+        F.transform("plist", lambda x: x["doc_id"]).alias("a_ids"),
+        F.transform("plist", lambda x: x["tf"]).alias("a_tfs"),
+        F.transform("plist", lambda x: x["dl"]).alias("a_dls"),
+        F.transform("plist", lambda x: x["bitsf"]).alias("a_bits"),
+    )
+    enc = _encode_udf(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    return cols.select(
+        "segment_id", "term",
+        enc("a_ids", "a_tfs", "a_dls", "a_bits").alias("e"),
+    ).select("segment_id", "term", "e.*")
+
+
+def _success(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+@dataclass
+class BuildReport:
+    n_docs: int
+    n_segments: int
+    waves_run: int
+    waves_skipped: int
+    build_secs: float
+    docs_per_sec: float
+    wave_secs: list[float] = field(default_factory=list)
+
+
+def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
+                cfg: IndexConfig | None = None, resume: bool = True,
+                max_waves: int | None = None) -> BuildReport:
+    """Build (or resume) the full index under ``out_dir``.
+
+    Layout:
+      docs/        forward index, sorted by doc_id (range-prunable)
+      stats.json   {n_docs, total_len, avgdl, k1, b, seg_docs, block_size}
+      postings/wave=N/   block-compressed posting runs per wave
+      manifest/wave=N/   per-segment lineage rows (checkpoint ledger)
+      term_stats/  global document frequency per term
+    """
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    docs_path = os.path.join(out_dir, "docs")
+    stats_path = os.path.join(out_dir, "stats.json")
+
+    # -- phase 1: forward index + global stats (skipped when checkpointed)
+    if not (resume and _success(docs_path) and os.path.exists(stats_path)):
+        docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts)
+        (docs.sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(docs_path))
+        agg = spark.read.parquet(docs_path).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total")
+        ).collect()[0]
+        stats = {
+            "n_docs": int(agg["n"]), "total_len": int(agg["total"] or 0),
+            "k1": cfg.k1, "b": cfg.b, "seg_docs": cfg.seg_docs,
+            "block_size": cfg.block_size, "fields": list(cfg.fields),
+        }
+        stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
+        with open(stats_path, "w") as fh:
+            json.dump(stats, fh)
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_segments = (n_docs + cfg.seg_docs - 1) // cfg.seg_docs
+
+    # -- phase 2: posting waves with manifest-based resume
+    manifest_path = os.path.join(out_dir, "manifest")
+    done: set[int] = set()
+    if resume and os.path.isdir(manifest_path):
+        try:
+            done = {
+                r["segment_id"]
+                for r in spark.read.parquet(manifest_path).select("segment_id").collect()
+            }
+        except Exception:
+            done = set()
+
+    docs_df = spark.read.parquet(docs_path)
+    todo = [s for s in range(n_segments) if s not in done]
+    waves = [todo[i:i + cfg.wave_segments]
+             for i in range(0, len(todo), cfg.wave_segments)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    wave_secs: list[float] = []
+    for wave in waves:
+        w0 = time.time()
+        lo, hi = min(wave) * cfg.seg_docs, (max(wave) + 1) * cfg.seg_docs
+        docs_wave = docs_df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            & F.col("segment_id").isin([int(s) for s in wave])
+        )
+        post = wave_postings(docs_wave, cfg, avgdl)
+        wkey = min(wave)
+        (post.sortWithinPartitions("term")
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "postings", f"wave={wkey}")))
+        # lineage manifest for this wave (idempotent overwrite)
+        wrote = spark.read.parquet(os.path.join(out_dir, "postings", f"wave={wkey}"))
+        mrows = (
+            wrote.groupBy("segment_id")
+            .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"))
+            .withColumn("wave", F.lit(wkey))
+            .withColumn("build_secs", F.lit(float(time.time() - w0)))
+        )
+        mrows.write.mode("overwrite").parquet(
+            os.path.join(manifest_path, f"wave={wkey}"))
+        wave_secs.append(time.time() - w0)
+
+    # -- phase 3: global term stats (once everything is manifested)
+    all_done = not [s for s in range(n_segments)
+                    if s not in done.union(s for w in waves for s in w)]
+    if all_done and (waves or not _success(os.path.join(out_dir, "term_stats"))):
+        posts = spark.read.parquet(os.path.join(out_dir, "postings"))
+        (posts.groupBy("term").agg(F.sum("df").alias("df_global"))
+              .write.mode("overwrite")
+              .parquet(os.path.join(out_dir, "term_stats")))
+
+    secs = time.time() - t0
+    built_docs = sum(min(cfg.seg_docs, n_docs - s * cfg.seg_docs)
+                     for w in waves for s in w)
+    report = BuildReport(
+        n_docs=n_docs, n_segments=n_segments, waves_run=len(waves),
+        waves_skipped=(len(done) + cfg.wave_segments - 1) // cfg.wave_segments,
+        build_secs=secs,
+        docs_per_sec=(built_docs / secs) if secs > 0 else 0.0,
+        wave_secs=wave_secs,
+    )
+    with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
+        json.dump({**stats, "build_secs": secs, "docs_per_sec": report.docs_per_sec,
+                   "waves_run": len(waves), "wave_secs": wave_secs,
+                   "n_segments": n_segments}, fh)
+    return report

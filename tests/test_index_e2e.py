@@ -1,0 +1,157 @@
+"""End-to-end goldens: the Spark engine must be rank-identical to the
+single-process oracle on the same corpus (SURVEY.md §5) — same doc_ids,
+scores to 1e-9, ties by doc_id asc — plus the per-row sha256 ingestion
+invariant, doc_id determinism across parallelism, and wave resume."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_df, corpus_pdf
+from quicker_spark.model import LANG_BITS
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.operators.docs import assign_doc_ids
+from quicker_spark.oracle import Oracle
+from quicker_spark.plans.term_query import And, NewTermQuery, Or
+
+N_DOCS = 400
+CFG = IndexConfig(seg_docs=90, n_salts=4, wave_segments=2, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    build_index(spark, corpus_df(spark, N_DOCS, partitions=6), out, CFG)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return Oracle(corpus_pdf(N_DOCS))
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+QUERIES = [
+    NewTermQuery("content", "def"),                       # hot single term
+    NewTermQuery("content", "uniq_17"),                   # singleton
+    NewTermQuery("content", "tok250"),                    # mid-frequency
+    Or(NewTermQuery("content", "tok100"), NewTermQuery("content", "tok200"),
+       NewTermQuery("content", "tok300")),                # flat OR (WAND path)
+    And(NewTermQuery("content", "def"), NewTermQuery("content", "tok50")),
+    Or(And(NewTermQuery("content", "import"), NewTermQuery("content", "tok30")),
+       And(NewTermQuery("content", "return"), NewTermQuery("content", "tok40"))),
+    And(NewTermQuery("lang", "python"), NewTermQuery("content", "class")),
+    NewTermQuery("content", "zzz_does_not_exist"),
+]
+
+
+def test_count_matches(engine, oracle):
+    assert engine.count() == oracle.n_docs == N_DOCS
+
+
+def test_ingestion_invariant_sha256(engine, oracle):
+    rows = engine.docs.select("id", "doc_sha", "content").collect()
+    assert len(rows) == N_DOCS
+    by_id = {o["id"]: o for o in oracle.docs.values()}
+    for r in rows:
+        assert hashlib.sha256(r["content"].encode()).hexdigest() == r["doc_sha"]
+        assert by_id[r["id"]]["content_sha"] == r["doc_sha"]
+
+
+def test_doc_ids_deterministic_across_parallelism(spark):
+    a = assign_doc_ids(corpus_df(spark, 150, partitions=3), n_parts=2)
+    b = assign_doc_ids(corpus_df(spark, 150, partitions=8), n_parts=7)
+    pa = a.select("repo", "path", "commit", "doc_id").orderBy("doc_id").toPandas()
+    pb = b.select("repo", "path", "commit", "doc_id").orderBy("doc_id").toPandas()
+    assert pa.equals(pb)
+    assert sorted(pa["doc_id"]) == list(range(150))
+
+
+def test_doc_ids_match_oracle(engine, oracle):
+    got = {r["id"]: r["doc_id"] for r in engine.docs.select("id", "doc_id").collect()}
+    want = {d["id"]: i for i, d in oracle.docs.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_boolean_rank_identity(engine, oracle, qi):
+    q = QUERIES[qi]
+    got = [r["doc_id"] for r in engine.search_bool(q).collect()]
+    want = oracle.eval_bool(q)
+    assert got == want, f"query {q}"
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+@pytest.mark.parametrize("mode", ["taat", "auto"])
+def test_topk_rank_identity(engine, oracle, qi, mode):
+    q = QUERIES[qi]
+    k = 10
+    got = engine.search(q, k=k, mode=mode).collect()
+    want = oracle.search_topk(q, k=k)
+    assert [r["doc_id"] for r in got] == [h.doc_id for h in want], f"query {q}"
+    np.testing.assert_allclose(
+        [r["score"] for r in got], [h.score for h in want], atol=1e-9)
+
+
+def test_topk_with_flags_matches_oracle(engine, oracle):
+    q = Or(NewTermQuery("content", "def"), NewTermQuery("content", "tok80"))
+    for kw in ({"on": LANG_BITS["python"]}, {"off": LANG_BITS["go"]},
+               {"or_flags": (LANG_BITS["python"] | LANG_BITS["go"],)}):
+        got = engine.search(q, k=8, **kw).collect()
+        want = oracle.search_topk(q, k=8, **kw)
+        assert [r["doc_id"] for r in got] == [h.doc_id for h in want], kw
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [h.score for h in want], atol=1e-9)
+
+
+def test_hydration_returns_business_payload(engine, oracle):
+    q = NewTermQuery("content", "uniq_5")
+    row = engine.search(q, k=1, hydrate=True).collect()
+    assert len(row) == 1
+    assert row[0]["id"] == oracle.docs[oracle.eval_bool(q)[0]]["id"]
+    assert row[0]["doc_sha"]
+
+
+def test_resume_skips_finished_waves(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    corpus = corpus_df(spark, 200, partitions=4)
+    cfg = IndexConfig(seg_docs=50, n_salts=4, wave_segments=1, block_size=32)
+    # killed build: only 2 of 4 waves complete
+    r1 = build_index(spark, corpus, out, cfg, max_waves=2)
+    assert r1.waves_run == 2
+    # resumed build: remaining waves only
+    r2 = build_index(spark, corpus, out, cfg)
+    assert r2.waves_run == 2  # not 4 — finished segments were skipped
+    # resumed-from-kill index equals a fresh uninterrupted build
+    out2 = str(tmp_path / "idx_fresh")
+    build_index(spark, corpus, out2, cfg)
+    a = spark.read.parquet(f"{out}/postings").select(
+        "segment_id", "term", "df", "ids", "tfs", "dls", "bits").orderBy(
+        "segment_id", "term").toPandas()
+    b = spark.read.parquet(f"{out2}/postings").select(
+        "segment_id", "term", "df", "ids", "tfs", "dls", "bits").orderBy(
+        "segment_id", "term").toPandas()
+    assert a.equals(b)
+    # idempotent no-op on a complete index
+    r3 = build_index(spark, corpus, out, cfg)
+    assert r3.waves_run == 0
+
+
+def test_postings_are_sorted_and_compressed(spark, index_dir):
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    row = posts.filter(F.col("term") == "content\x01def").limit(1).collect()[0]
+    from quicker_spark.engine import _row_to_encoded
+    import pandas as pd
+
+    enc = _row_to_encoded(pd.Series(row.asDict()), CFG.block_size)
+    ids, tfs, dls, bits = enc.decode_all()
+    assert (np.diff(ids) > 0).all()          # strictly ascending doc_ids
+    assert enc.df == len(ids)
+    assert len(enc.ids) < 8 * len(ids)       # compressed vs raw int64

@@ -1,0 +1,156 @@
+"""Posting-kernel tests: block layout round-trip, exhaustive scorer vs the
+Python oracle math, and block-max WAND vs exhaustive (lossless pruning,
+including adversarial ties — SURVEY.md §7 hard part (d))."""
+
+import numpy as np
+import pytest
+
+from quicker_spark.functions.kernels import (
+    EncodedPostings,
+    bm25_u,
+    encode_postings,
+    eval_bool_tree,
+    filter_by_bits_vec,
+    intersect_many,
+    score_segment_exhaustive,
+    score_segment_wand,
+    union_many,
+)
+from quicker_spark.model import bm25_idf
+
+
+def _mk(ids, tfs=None, dls=None, bits=None, avgdl=100.0, block=4):
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    tfs = np.asarray(tfs if tfs is not None else np.ones(n), dtype=np.int64)
+    dls = np.asarray(dls if dls is not None else np.full(n, 100), dtype=np.int64)
+    bits = np.asarray(bits if bits is not None else np.zeros(n), dtype=np.int64)
+    return encode_postings(ids, tfs, dls, bits, avgdl, block_size=block)
+
+
+def test_encode_decode_roundtrip_blocks():
+    rng = np.random.RandomState(7)
+    ids = np.unique(rng.randint(0, 10**7, 1000)).astype(np.int64)
+    n = len(ids)
+    tfs = rng.randint(1, 50, n)
+    dls = rng.randint(30, 300, n)
+    bits = rng.randint(0, 64, n)
+    enc = encode_postings(ids, tfs, dls, bits, avgdl=150.0, block_size=128)
+    rids, rtfs, rdls, rbits = enc.decode_all()
+    np.testing.assert_array_equal(rids, ids)
+    np.testing.assert_array_equal(rtfs, tfs)
+    np.testing.assert_array_equal(rdls, dls)
+    np.testing.assert_array_equal(rbits, bits)
+    # per-block decode agrees with full decode
+    for blk in range(enc.n_blocks):
+        bi, bt, bd, bb = enc.decode_block(blk)
+        s, e = blk * 128, min((blk + 1) * 128, n)
+        np.testing.assert_array_equal(bi, ids[s:e])
+        np.testing.assert_array_equal(bt, tfs[s:e])
+    # block maxima are admissible upper bounds
+    u = bm25_u(tfs, dls, 150.0)
+    for blk in range(enc.n_blocks):
+        s, e = blk * 128, min((blk + 1) * 128, n)
+        assert enc.block_max_u[blk] >= u[s:e].max()
+
+
+def test_set_op_kernels_reference_fixtures():
+    l1 = np.array([1, 4, 5, 7, 9, 11], dtype=np.int64)
+    l2 = np.array([2, 4, 5, 8, 9], dtype=np.int64)
+    l3 = np.array([3, 5, 7, 9], dtype=np.int64)
+    np.testing.assert_array_equal(intersect_many([l1, l2]), [4, 5, 9])
+    np.testing.assert_array_equal(intersect_many([l1, l2, l3]), [5, 9])
+    np.testing.assert_array_equal(union_many([l1, l2, l3]), [1, 2, 3, 4, 5, 7, 8, 9, 11])
+    assert intersect_many([]).size == 0
+    np.testing.assert_array_equal(intersect_many([l1]), l1)
+
+
+def test_eval_bool_tree_nested():
+    leaf = {
+        "content\x01a": np.array([1, 2, 3, 4], dtype=np.int64),
+        "content\x01b": np.array([2, 4, 6], dtype=np.int64),
+        "content\x01c": np.array([9], dtype=np.int64),
+    }
+    q = {"should": [
+        {"must": [{"keyword": {"field": "content", "word": "a"}},
+                  {"keyword": {"field": "content", "word": "b"}}]},
+        {"keyword": {"field": "content", "word": "c"}},
+    ]}
+    np.testing.assert_array_equal(eval_bool_tree(q, leaf), [2, 4, 9])
+
+
+def _random_segment(rng, n_docs=2000, n_terms=5, avgdl=100.0, tie_heavy=False):
+    """Random per-term postings + matching exhaustive inputs."""
+    postings = {}
+    decoded = {}
+    idf = {}
+    for t in range(n_terms):
+        term = f"content\x01t{t}"
+        df = rng.randint(1, n_docs)
+        ids = np.sort(rng.choice(n_docs, df, replace=False)).astype(np.int64)
+        if tie_heavy:
+            tfs = np.ones(df, dtype=np.int64)
+            dls = np.full(df, 100, dtype=np.int64)
+        else:
+            tfs = rng.randint(1, 20, df).astype(np.int64)
+            dls = rng.randint(30, 300, df).astype(np.int64)
+        bits = rng.randint(0, 4, df).astype(np.int64)
+        postings[term] = encode_postings(ids, tfs, dls, bits, avgdl,
+                                         block_size=rng.choice([4, 16, 128]))
+        decoded[term] = (ids, tfs, dls, bits)
+        idf[term] = bm25_idf(n_docs, df)
+    return postings, decoded, idf
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("tie_heavy", [False, True])
+def test_wand_matches_exhaustive(seed, tie_heavy):
+    rng = np.random.RandomState(seed)
+    postings, decoded, idf = _random_segment(rng, tie_heavy=tie_heavy)
+    avgdl = 100.0
+    k = rng.choice([1, 5, 10, 50])
+    query = {"should": [{"keyword": {"field": "content", "word": t.split("\x01")[1]}}
+                        for t in decoded]}
+    e_ids, e_scores = score_segment_exhaustive(query, decoded, idf, avgdl, int(k))
+    w_ids, w_scores = score_segment_wand(postings, idf, avgdl, int(k))
+    np.testing.assert_array_equal(w_ids, e_ids)
+    np.testing.assert_allclose(w_scores, e_scores, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_wand_matches_exhaustive_with_flags(seed):
+    rng = np.random.RandomState(100 + seed)
+    postings, decoded, idf = _random_segment(rng)
+    query = {"should": [{"keyword": {"field": "content", "word": t.split("\x01")[1]}}
+                        for t in decoded]}
+    for on, off, orf in [(1, 0, ()), (0, 2, ()), (0, 0, (1, 2)), (1, 2, ())]:
+        e_ids, e_scores = score_segment_exhaustive(
+            query, decoded, idf, 100.0, 10, on=on, off=off, or_flags=orf)
+        w_ids, w_scores = score_segment_wand(
+            postings, idf, 100.0, 10, on=on, off=off, or_flags=orf)
+        np.testing.assert_array_equal(w_ids, e_ids)
+        np.testing.assert_allclose(w_scores, e_scores, atol=1e-9)
+
+
+def test_exhaustive_must_semantics():
+    rng = np.random.RandomState(3)
+    _, decoded, idf = _random_segment(rng, n_terms=3)
+    terms = list(decoded)
+    q_and = {"must": [{"keyword": {"field": "content", "word": t.split("\x01")[1]}}
+                      for t in terms]}
+    ids, scores = score_segment_exhaustive(q_and, decoded, idf, 100.0, 10**9)
+    expect = decoded[terms[0]][0]
+    for t in terms[1:]:
+        expect = np.intersect1d(expect, decoded[t][0])
+    np.testing.assert_array_equal(np.sort(ids), expect)
+
+
+def test_filter_by_bits_vec_matches_scalar():
+    from quicker_spark.model import filter_by_bits
+
+    rng = np.random.RandomState(0)
+    bits = rng.randint(0, 64, 500)
+    for on, off, orf in [(0, 0, ()), (3, 0, ()), (0, 5, ()), (1, 2, (8, 16))]:
+        vec = filter_by_bits_vec(bits, on, off, orf)
+        ref = np.array([filter_by_bits(int(x), on, off, orf) for x in bits])
+        np.testing.assert_array_equal(vec, ref)
