@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship BM25 top-k over the sf0.001 documents corpus via
+               the full segmented-index pipeline (tokenize -> salted
+               posting build -> varbyte segments -> block-max WAND).
+``queries``  — one entry per implemented operator (SURVEY.md §2 + the
+               training-data operators), from quicker_spark.driver_queries.
+``oracle_sql`` — exact DuckDB twins, column-aligned, floats rounded 4 dp.
 """
 
 from __future__ import annotations
@@ -16,23 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from quicker_spark.driver_queries import _bm25_query, get_engine
+
+    eng = get_engine(spark, "/root/testdata/sf0.001")
+    hits = eng.search(_bm25_query(), k=10, mode="wand", hydrate=True)
+    return hits.select("doc_id", F.round("score", 4).alias("score_r"),
+                       "id", "repo", "lang", "doc_sha")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from quicker_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from quicker_spark.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,129 @@
+"""Benchmark harness: index build + headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_sec", "value": <total>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": <sf>,
+   "docs": N, "index_build_docs_per_sec": R}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def median_time(fn, reps: int = 3) -> float:
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("quicker-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from quicker_spark import driver_queries as dq
+    from quicker_spark.engine import SearchEngine
+    from quicker_spark.operators import simsearch, textops
+    from quicker_spark.operators.build import IndexConfig, build_index
+    from quicker_spark.plans.term_query import And, NewTermQuery, Or
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+
+    # -- index build (fresh, no resume) -------------------------------------
+    out_dir = tempfile.mkdtemp(prefix="quicker_bench_idx_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    corpus = dq.corpus_df(spark, sf_dir)
+    cfg = IndexConfig(fields=dq.DRIVER_FIELDS, id_col="biz_id",
+                      seg_docs=dq.DRIVER_SEG_DOCS)
+    t0 = time.time()
+    report = build_index(spark, corpus, out_dir, cfg, resume=False)
+    timings["index_build"] = time.time() - t0
+    eng = SearchEngine(spark, out_dir)
+
+    # -- query serving -------------------------------------------------------
+    terms = [("query", "spark", "table"), ("merge", "join", "hash"),
+             ("scan", "filter", "sort")]
+
+    def wand_all():
+        for ts in terms:
+            eng.search(Or(*[NewTermQuery("content", t) for t in ts]),
+                       k=10, mode="wand").collect()
+
+    def taat_all():
+        for ts in terms:
+            eng.search(And(NewTermQuery("content", ts[0]),
+                           NewTermQuery("content", ts[1])),
+                       k=10, mode="taat").collect()
+
+    timings["bm25_wand_3q"] = median_time(wand_all)
+    timings["bm25_taat_3q"] = median_time(taat_all)
+    timings["bool_and"] = median_time(
+        lambda: eng.search_bool(And(NewTermQuery("content", "table"),
+                                    NewTermQuery("content", "merge"))).count())
+
+    # -- training-data operators ---------------------------------------------
+    docs = dq.documents(spark, sf_dir)
+    emb = dq.embeddings(spark, sf_dir)
+    timings["exact_dedup"] = median_time(
+        lambda: textops.exact_duplicates(docs).filter("keep").count(), 1)
+    timings["minhash_lsh"] = median_time(
+        lambda: textops.lsh_candidate_pairs(
+            textops.minhash_signatures(docs)).count(), 1)
+    timings["simhash"] = median_time(lambda: textops.simhash(docs).count(), 1)
+    timings["cosine_top10"] = median_time(
+        lambda: simsearch.cosine_topk(emb, 0, 10).collect())
+    timings["lsh_ann_top10"] = median_time(
+        lambda: simsearch.lsh_ann_topk(emb, 0, 10).collect())
+    timings["token_stats"] = median_time(
+        lambda: textops.token_stats(docs).agg(F.sum("n_tokens")).collect(), 1)
+
+    total = time.time() - t_suite
+    out = {
+        "metric": "suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "docs": report.n_docs,
+        "index_build_docs_per_sec": round(report.n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

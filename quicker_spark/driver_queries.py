@@ -1,0 +1,502 @@
+"""Driver-facing query registry: Spark queries + exact DuckDB oracle SQL.
+
+Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``
+exercising one engine operator (SURVEY.md §2) or training-data operator
+over the driver's ``documents`` / ``embeddings`` parquet tables; the
+matching :data:`ORACLE_SQL` string computes the identical result in ANSI
+SQL (DuckDB), column names aligned, floats rounded to 4 dp AFTER full-
+precision selection so the value-hash compare is byte-stable.
+
+Index-backed queries build the real segmented index (tokenize → salted
+posting build → varbyte encode → parquet segments) once per sf_dir into a
+temp directory and reuse it via the build's resume path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quicker_spark.engine import SearchEngine, _row_to_encoded
+from quicker_spark.model import LANG_BITS
+from quicker_spark.operators import simsearch, textops
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.plans.term_query import NewTermQuery, And, Or
+
+
+def x4(c) -> F.Column:
+    """Scaled-integer float canonicalization: round(x * 10000) as int64.
+
+    Multiplication and HALF_UP round-to-integer are the same deterministic
+    float64 ops in Spark and DuckDB, so the value-hash compare never trips
+    on engine-specific round(x, n) implementations."""
+    return F.round(c * F.lit(10000.0)).cast("long")
+
+
+SQL_X4 = "round(({expr}) * 10000.0)::bigint"
+
+# ---------------------------------------------------------------------------
+# corpus adapter + cached engine
+# ---------------------------------------------------------------------------
+
+DRIVER_FIELDS = ("content", "lang")
+DRIVER_SEG_DOCS = 1000
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id,text,lang,source,n_chars) -> engine corpus shape.
+
+    The table's own dense int64 ``doc_id`` is passed through as the engine
+    doc id (IndexConfig.id_col), so posting ids, scores, and hydrated rows
+    are directly comparable with SQL over the raw table.
+    """
+    return documents(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("biz_id"),
+    )
+
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = os.path.normpath(sf_dir)
+    if key not in _ENGINES:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "quicker_idx_" + re.sub(r"\W+", "_", key).strip("_") + "_v1",
+        )
+        cfg = IndexConfig(fields=DRIVER_FIELDS, id_col="biz_id",
+                          seg_docs=DRIVER_SEG_DOCS)
+        build_index(spark, corpus_df(spark, sf_dir), out, cfg, resume=True)
+        _ENGINES[key] = SearchEngine(spark, out)
+    return _ENGINES[key]
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB; `documents` / `embeddings` are views)
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = ("SELECT doc_id, t.term FROM documents, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)")
+SQL_ARR = ("SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS a "
+           "FROM documents")
+SQL_SHINGLES = (
+    f"WITH arr AS ({SQL_ARR}) "
+    "SELECT doc_id, s FROM arr, unnest(list_transform("
+    "generate_series(1, len(a) - 2), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]"
+    ")) AS t(s)"
+)
+
+
+def _sql_h60(expr: str) -> str:
+    """Portable 60-bit md5-prefix hash (== textops.md5_long)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::bigint"
+
+
+def _sql_lang_bits() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {bit}" for lang, bit in LANG_BITS.items())
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+BM25_TERMS = ("query", "spark", "table")
+SQL_TERMS_IN = "('" + "','".join(BM25_TERMS) + "')"
+
+SQL_BM25_TOP10 = f"""
+WITH toks AS ({SQL_TOKS}),
+dl AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::double AS dl
+       FROM documents),
+stats AS (SELECT count(*)::double AS n, sum(dl)::double / count(*)::double AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks
+       WHERE term IN {SQL_TERMS_IN} GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::double AS dfv FROM toks
+       WHERE term IN {SQL_TERMS_IN} GROUP BY term),
+idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
+        FROM df, stats),
+scores AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * (tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.term = idf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+SQL_MINHASH_MINS = ", ".join(
+    "min({h}) AS sig_{i}".format(h=_sql_h60("'{}:' || s".format(i)), i=i)
+    for i in range(8)
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_term_tf(spark, sf_dir):
+    """B2/B6: vectorized tokenize -> per-(doc, term) frequency."""
+    from quicker_spark.functions.tokenize import tokenize_col
+    return (
+        documents(spark, sf_dir)
+        .select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """BM25 doc-length statistics source."""
+    from quicker_spark.functions.tokenize import tokenize_col
+    return documents(spark, sf_dir).select(
+        "doc_id", F.size(tokenize_col(F.col("text"))).cast("long").alias("doc_len")
+    )
+
+
+def q_term_df(spark, sf_dir):
+    """Global document frequency per term (idf input)."""
+    from quicker_spark.functions.tokenize import tokenize_col
+    return (
+        documents(spark, sf_dir)
+        .select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def q_postings_decode(spark, sf_dir):
+    """B2+codec end-to-end: decode the built index's content-field posting
+    runs back to sorted doc-id lists (delta+varbyte round-trip vs SQL)."""
+    eng = get_engine(spark, sf_dir)
+    bs = int(eng.stats["block_size"])
+    prefix = "content\x01"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, g in pdf.groupby("term"):
+            parts = [
+                _row_to_encoded(r, bs).decode_all()[0]
+                for _, r in g.sort_values("segment_id").iterrows()
+            ]
+            ids = np.sort(np.concatenate(parts))
+            rows.append((term[len(prefix):], int(len(ids)),
+                         ",".join(str(int(i)) for i in ids)))
+        return pd.DataFrame(rows, columns=["term", "df", "ids_csv"])
+
+    return (
+        eng.postings.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .applyInPandas(kern, "term string, df long, ids_csv string")
+    )
+
+
+def _bm25_query():
+    return Or(*[NewTermQuery("content", t) for t in BM25_TERMS])
+
+
+def q_bm25_top10_wand(spark, sf_dir):
+    """North-rule flagship: block-max WAND BM25 top-10."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search(_bm25_query(), k=10, mode="wand")
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_bm25_top10_taat(spark, sf_dir):
+    """Same query through the exhaustive TAAT scorer (plan diversity)."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search(_bm25_query(), k=10, mode="taat")
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_bool_and(spark, sf_dir):
+    """Q3: posting-list intersection (AND)."""
+    eng = get_engine(spark, sf_dir)
+    q = And(NewTermQuery("content", "table"), NewTermQuery("content", "merge"))
+    return eng.search_bool(q)
+
+
+def q_bool_flags_on(spark, sf_dir):
+    """Q1/Q2: leaf lookup + onFlag bit predicate (lang='de' class bit)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.search_bool(NewTermQuery("content", "table"),
+                           on=LANG_BITS["de"])
+def q_bool_flags_or(spark, sf_dir):
+    """Q2 orFlags semantics: bits & (en|de) > 0."""
+    eng = get_engine(spark, sf_dir)
+    return eng.search_bool(NewTermQuery("content", "table"),
+                           or_flags=(LANG_BITS["en"] | LANG_BITS["de"],))
+
+
+def q_count_docs(spark, sf_dir):
+    """Q15: distributed count over the forward index."""
+    eng = get_engine(spark, sf_dir)
+    return eng.docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_exact_dup(spark, sf_dir):
+    return textops.exact_duplicates(documents(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    t = textops.token_stats(documents(spark, sf_dir))
+    return t.select("doc_id", "n_tokens", "n_uniq", x4(F.col("ttr")).alias("ttr_x4"))
+
+
+def q_quality(spark, sf_dir):
+    qd = textops.quality_score(documents(spark, sf_dir))
+    return qd.select("doc_id", x4(F.col("stop_ratio")).alias("stop_x4"),
+                     x4(F.col("avg_len")).alias("avg_len_x4"),
+                     x4(F.col("quality")).alias("quality_x4"))
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(documents(spark, sf_dir))
+
+
+def q_minhash_sig(spark, sf_dir):
+    return textops.minhash_signatures(documents(spark, sf_dir), k=8)
+
+
+def q_lsh_candidates(spark, sf_dir):
+    sigs = textops.minhash_signatures(documents(spark, sf_dir), k=8)
+    return textops.lsh_candidate_pairs(sigs, k=8, bands=4)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    j = textops.jaccard_window_pairs(documents(spark, sf_dir), max_gap=2)
+    return j.select("a", "b", x4(F.col("jac")).alias("jac_x4"))
+
+
+def q_simhash16(spark, sf_dir):
+    return textops.simhash(documents(spark, sf_dir), bits=16)
+
+
+def q_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprint(documents(spark, sf_dir), shingle=5)
+
+
+def q_binary_meta(spark, sf_dir):
+    return textops.binary_meta(documents(spark, sf_dir))
+
+
+def q_cosine_top10(spark, sf_dir):
+    c = simsearch.cosine_topk(embeddings(spark, sf_dir), query_id=0, k=10)
+    return c.select("vec_id", x4(F.col("cos")).alias("cos_x4"))
+
+
+def q_embed_near_pairs(spark, sf_dir):
+    p = simsearch.near_pairs(embeddings(spark, sf_dir), threshold=0.5)
+    return p.select("a", "b", x4(F.col("cos")).alias("cos_x4"))
+
+
+def q_lsh_ann_top10(spark, sf_dir):
+    """LSH-bucketed ANN (non-SQL-expressible plane generation is
+    deterministic, but kept rows-only checked)."""
+    c = simsearch.lsh_ann_topk(embeddings(spark, sf_dir), query_id=0, k=10)
+    return c.select("vec_id", x4(F.col("cos")).alias("cos_x4"))
+
+
+QUERIES = {
+    "term_tf": q_term_tf,
+    "doc_stats": q_doc_stats,
+    "term_df": q_term_df,
+    "postings_decode": q_postings_decode,
+    "bm25_top10_wand": q_bm25_top10_wand,
+    "bm25_top10_taat": q_bm25_top10_taat,
+    "bool_and": q_bool_and,
+    "bool_flags_on": q_bool_flags_on,
+    "bool_flags_or": q_bool_flags_or,
+    "count_docs": q_count_docs,
+    "exact_dup": q_exact_dup,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "minhash_sig": q_minhash_sig,
+    "lsh_candidates": q_lsh_candidates,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash16": q_simhash16,
+    "fingerprint": q_fingerprint,
+    "binary_meta": q_binary_meta,
+    "cosine_top10": q_cosine_top10,
+    "embed_near_pairs": q_embed_near_pairs,
+    "lsh_ann_top10": q_lsh_ann_top10,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL = {
+    "term_tf": (
+        f"WITH toks AS ({SQL_TOKS}) "
+        "SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term"
+    ),
+    "doc_stats": (
+        "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::bigint"
+        " AS doc_len FROM documents"
+    ),
+    "term_df": (
+        f"WITH toks AS ({SQL_TOKS}) "
+        "SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)"
+        " GROUP BY term"
+    ),
+    "postings_decode": (
+        f"WITH toks AS ({SQL_TOKS}) "
+        "SELECT term, count(*) AS df, "
+        "string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS ids_csv "
+        "FROM (SELECT DISTINCT term, doc_id FROM toks) GROUP BY term"
+    ),
+    "bm25_top10_wand": SQL_BM25_TOP10,
+    "bm25_top10_taat": SQL_BM25_TOP10,
+    "bool_and": (
+        f"WITH toks AS ({SQL_TOKS}) "
+        "SELECT doc_id FROM toks WHERE term = 'table' "
+        "INTERSECT SELECT doc_id FROM toks WHERE term = 'merge'"
+    ),
+    "bool_flags_on": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        f"b AS (SELECT doc_id, {_sql_lang_bits()} AS bits FROM documents) "
+        "SELECT DISTINCT t.doc_id FROM toks t JOIN b ON t.doc_id = b.doc_id "
+        f"WHERE t.term = 'table' AND (b.bits & {LANG_BITS['de']}) = {LANG_BITS['de']}"
+    ),
+    "bool_flags_or": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        f"b AS (SELECT doc_id, {_sql_lang_bits()} AS bits FROM documents) "
+        "SELECT DISTINCT t.doc_id FROM toks t JOIN b ON t.doc_id = b.doc_id "
+        f"WHERE t.term = 'table' AND (b.bits & {LANG_BITS['en'] | LANG_BITS['de']}) > 0"
+    ),
+    "count_docs": "SELECT count(*) AS n_docs FROM documents",
+    "exact_dup": (
+        "SELECT doc_id, md5(text) AS h, "
+        "doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep "
+        "FROM documents"
+    ),
+    "token_stats": (
+        f"WITH arr AS ({SQL_ARR}) "
+        "SELECT doc_id, len(a)::bigint AS n_tokens, "
+        "len(list_distinct(a))::bigint AS n_uniq, "
+        "round(len(list_distinct(a))::double / len(a)::double * 10000.0)::bigint AS ttr_x4 "
+        "FROM arr"
+    ),
+    "quality": (
+        f"WITH arr AS ({SQL_ARR}), "
+        "m AS (SELECT doc_id, len(a)::double AS n, "
+        "  len(list_filter(a, t -> t IN ('a','the')))::double AS stop_cnt, "
+        "  list_sum(list_transform(a, t -> length(t)))::double AS sum_len "
+        "FROM arr) "
+        "SELECT doc_id, round(stop_cnt / n * 10000.0)::bigint AS stop_x4, "
+        "round(sum_len / n * 10000.0)::bigint AS avg_len_x4, "
+        "round((sum_len / n / 10.0 - stop_cnt / n) * 10000.0)::bigint"
+        " AS quality_x4 FROM m"
+    ),
+    "lang_id": (
+        f"WITH arr AS ({SQL_ARR}), "
+        "s AS (SELECT doc_id, "
+        "  len(list_filter(a, t -> t IN ('hash','big'))) AS s_de, "
+        "  len(list_filter(a, t -> t IN ('the','a','table'))) AS s_en, "
+        "  len(list_filter(a, t -> t IN ('slow','agg'))) AS s_es, "
+        "  len(list_filter(a, t -> t IN ('scan','batch'))) AS s_fr, "
+        "  len(list_filter(a, t -> t IN ('join','small'))) AS s_zh FROM arr), "
+        "u AS (SELECT doc_id, 'de' AS lang, s_de AS score FROM s "
+        " UNION ALL SELECT doc_id, 'en', s_en FROM s "
+        " UNION ALL SELECT doc_id, 'es', s_es FROM s "
+        " UNION ALL SELECT doc_id, 'fr', s_fr FROM s "
+        " UNION ALL SELECT doc_id, 'zh', s_zh FROM s) "
+        "SELECT doc_id, lang AS pred_lang FROM ("
+        "SELECT doc_id, lang, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM u) WHERE rn = 1"
+    ),
+    "minhash_sig": (
+        f"WITH sh AS ({SQL_SHINGLES}) "
+        f"SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id"
+    ),
+    "lsh_candidates": (
+        f"WITH sh AS ({SQL_SHINGLES}), "
+        f"sig AS (SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id), "
+        "band AS ("
+        + " UNION ALL ".join(
+            "SELECT doc_id, md5('{b},' || sig_{i}::varchar || ',' || "
+            "sig_{j}::varchar) AS band_key FROM sig".format(b=b, i=2 * b, j=2 * b + 1)
+            for b in range(4)
+        )
+        + ") SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM band a "
+        "JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    ),
+    "jaccard_pairs": (
+        f"WITH arr0 AS ({SQL_ARR}), "
+        "arr AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, len(a) - 2), "
+        "i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS sh FROM arr0) "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "round(len(list_intersect(a.sh, b.sh))::double / "
+        "(len(a.sh)::double + len(b.sh)::double - "
+        "len(list_intersect(a.sh, b.sh))::double) * 10000.0)::bigint AS jac_x4 "
+        "FROM arr a JOIN arr b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 2"
+    ),
+    "simhash16": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "terms AS (SELECT DISTINCT doc_id, term FROM toks), "
+        f"h AS (SELECT doc_id, {_sql_h60('term')} AS h FROM terms), "
+        "b AS (SELECT doc_id, j, sum(2 * ((h >> j) & 1) - 1) AS v "
+        "FROM h, unnest(generate_series(0, 15)) AS g(j) GROUP BY doc_id, j), "
+        "sh AS (SELECT doc_id, sum(1::bigint << j) AS simhash FROM b "
+        "WHERE v > 0 GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(sh.simhash, 0)::bigint AS simhash "
+        "FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id"
+    ),
+    "fingerprint": (
+        "WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        "g AS (SELECT doc_id, s FROM lt, unnest(list_transform("
+        "generate_series(1, greatest(length(t) - 4, 1)), i -> substr(t, i, 5)"
+        ")) AS u(s)) "
+        f"SELECT doc_id, min({_sql_h60('s')}) AS fp FROM g GROUP BY doc_id"
+    ),
+    "binary_meta": (
+        "SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes, "
+        "sha256(text) AS sha FROM documents"
+    ),
+    "cosine_top10": (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v"
+        " FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "c AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+        " AS cos FROM e, q WHERE e.vec_id <> 0) "
+        "SELECT vec_id, round(cos * 10000.0)::bigint AS cos_x4 FROM c "
+        "ORDER BY cos DESC, vec_id LIMIT 10"
+    ),
+    "embed_near_pairs": (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v"
+        " FROM embeddings) "
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))) * 10000.0)::bigint AS cos_x4 "
+        "FROM e a JOIN e b ON b.vec_id > a.vec_id "
+        "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))) >= 0.5"
+    ),
+    # lsh_ann_top10: intentionally no oracle (rows-only check) — the
+    # bucketed ANN result is approximate by construction.
+}

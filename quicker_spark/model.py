@@ -16,7 +16,10 @@ FIELD_SEP = "\x01"
 # keyword bit enum, reference: demo/job/bits.go:6-21; ours is keyed on the
 # corpus `lang` column per FIXTURES.md §2).
 LANG_BITS = {"python": 1 << 0, "go": 1 << 1, "java": 1 << 2, "js": 1 << 3,
-             "rust": 1 << 4, "c": 1 << 5}
+             "rust": 1 << 4, "c": 1 << 5,
+             # natural-language classes (driver `documents` corpus)
+             "en": 1 << 6, "de": 1 << 7, "zh": 1 << 8, "fr": 1 << 9,
+             "es": 1 << 10}
 
 # BM25 parameters mandated by the north rule (BASELINE.json).
 K1 = 1.2

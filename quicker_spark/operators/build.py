@@ -59,6 +59,7 @@ class IndexConfig:
     fields: tuple[str, ...] = ("content", "repo", "path", "lang")
     use_arrow_tokenizer: bool = True  # pandas UDF (north rule) vs Catalyst split
     n_parts: int | None = None       # doc-id assignment parallelism
+    id_col: str | None = None        # trust a pre-assigned dense int64 id
 
 
 POSTINGS_SCHEMA = T.StructType([
@@ -175,7 +176,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     # -- phase 1: forward index + global stats (skipped when checkpointed)
     if not (resume and _success(docs_path) and os.path.exists(stats_path)):
-        docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts)
+        docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts,
+                            id_col=cfg.id_col)
         (docs.sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(docs_path))
         agg = spark.read.parquet(docs_path).agg(

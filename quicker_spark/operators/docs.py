@@ -99,14 +99,26 @@ def dedupe_latest(df: DataFrame, key_cols=DOC_KEY_COLS,
 
 
 def prepare_docs(corpus: DataFrame, seg_docs: int,
-                 n_parts: int | None = None) -> DataFrame:
+                 n_parts: int | None = None,
+                 id_col: str | None = None) -> DataFrame:
     """Corpus -> forward-index rows with deterministic ids and segments.
 
     segment_id = doc_id // seg_docs: contiguous doc ranges, so posting-list
     deltas stay small and a wave of segments maps to a doc_id range filter
     (row-group pruning on the sorted docs table).
+
+    ``id_col``: when the business side already owns a dense unique int64
+    key (the reference likewise lets callers supply the business Id,
+    api/document.proto:13), trust it instead of the sha256 dense rank —
+    skips the ranking passes entirely and keeps engine ids == business ids.
     """
-    ids = assign_doc_ids(corpus, n_parts=n_parts)
+    if id_col is not None:
+        spark = corpus.sparkSession
+        n = n_parts or spark.sparkContext.defaultParallelism
+        ids = (corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+                     .repartitionByRange(n, "doc_id"))
+    else:
+        ids = assign_doc_ids(corpus, n_parts=n_parts)
     return ids.select(
         "doc_id",
         F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),

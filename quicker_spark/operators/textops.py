@@ -1,0 +1,283 @@
+"""Training-data text operators: dedup, similarity, analysis.
+
+Large-scale corpus-curation operators the reference engine lacks but a
+10^12-document pipeline needs next to the index (SURVEY.md §7). Everything
+here is pure Catalyst column expressions — whole-stage-codegen'd JVM
+execution, no Python in the hot path — and every operator has an exact
+ANSI-SQL twin in ``quicker_spark.driver_queries`` so results are verifiable
+against a DuckDB oracle bit-for-bit.
+
+Scale notes (100 TB):
+- hashing is `md5`-prefix → int64, computed JVM-side; no UDF, no collect.
+- MinHash/LSH candidate generation is a self-equi-join on band keys — a
+  shuffle on a high-cardinality key (band hash), which Spark distributes
+  evenly; the quadratic all-pairs comparison never materializes.
+- exact dedup is one hash `groupBy` with map-side partial aggregation.
+- windowed Jaccard joins on a range condition over the id — with the
+  corpus range-partitioned by id this is a co-partitioned merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from quicker_spark.functions.tokenize import tokenize_col
+
+# Deterministic portable 60-bit hash: both Spark (`conv(substr(md5, 1, 15),
+# 16, 10)`) and DuckDB (`('0x' || substr(md5, 1, 15))::bigint`) produce the
+# identical non-negative int64 for identical input strings.
+
+
+def md5_long(c: Column) -> Column:
+    """Portable non-negative int64 hash of a string column."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined token runs).
+
+    Built by zipping the token array with its own shifted suffixes —
+    linear work per row. (Indexing via `element_at` inside a lambda would
+    re-evaluate the tokenizer per element: O(len^2) per doc — measured 60x
+    slower at sf0.1.) `concat` (not concat_ws) propagates the null padding
+    zip_with adds past the shortest suffix; the final filter drops it.
+    """
+    toks = tokenize_col(text)
+    # NB: a constant INT_MAX slice length overflows (start+length) inside
+    # zip_with codegen and yields empty arrays — bound by size() instead.
+    suffixes = [F.slice(toks, j + 1, F.size(toks)) for j in range(n)]
+    sh = suffixes[n - 1]
+    for j in range(n - 2, -1, -1):
+        sh = F.zip_with(suffixes[j], sh,
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(sh, lambda x: x.isNotNull())
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """First-writer-wins exact dedup: (id, content hash, keep flag).
+
+    One hash groupBy; at 100 TB the min-over-window is a two-phase
+    aggregation on the md5 key — no skew (hashes are uniform).
+    """
+    w = Window.partitionBy("h")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Return df with exact-duplicate rows (by content hash) removed,
+    keeping the lowest id per hash group."""
+    keep = exact_duplicates(df, id_col, text_col).filter("keep").select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- MinHash + LSH -------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 8,
+                       shingle: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): k-permutation MinHash over word shingles.
+
+    Permutation i is the md5-prefix hash salted with i — no multiply-mod
+    arithmetic, so the identical signature is computable in any engine.
+    Explode + groupBy(id) with k `min` aggregates: map-side combine keeps
+    the shuffle at one row per doc.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle)).alias("s")
+    )
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        k: int = 8, bands: int = 4) -> DataFrame:
+    """(a, b) candidate near-dup pairs sharing >=1 LSH band bucket (a < b).
+
+    Bands the k signature values into ``bands`` groups of ``k//bands``,
+    hashes each band, and self-joins on the band key — the standard
+    sub-quadratic LSH candidate join. The band hash is high-cardinality, so
+    the shuffle is balanced; a pathological bucket (thousands of identical
+    docs) is exactly the case where the pairs ARE all near-dups.
+    """
+    r = k // bands
+    keys = F.array(*[
+        F.md5(F.concat_ws(",", F.lit(str(bi)),
+                          *[F.col(f"sig_{bi * r + j}").cast("string")
+                            for j in range(r)]))
+        for bi in range(bands)
+    ])
+    # one pass over sigs: the band index is salted into each key, so a
+    # single explode replaces a `bands`-way union (which would recompute
+    # the signature aggregation per branch)
+    band_rows = sigs.select(F.col(id_col), F.explode(keys).alias("band_key"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_window_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", max_gap: int = 2,
+                         shingle: int = 3) -> DataFrame:
+    """(a, b, jac): exact n-gram Jaccard for id-windowed pairs
+    (0 < b - a <= max_gap).
+
+    The bounded id-gap join is a band join — at scale, range-partition by
+    id and it's a co-partitioned local join.
+    """
+    arr = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_col(F.col(text_col), shingle)).alias("sh"),
+    )
+    a, b = arr.alias("a"), arr.alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    na = F.size(F.col("a.sh")).cast("double")
+    nb = F.size(F.col("b.sh")).cast("double")
+    return (
+        a.join(b, (ib > ia) & (ib <= ia + max_gap))
+        .select(ia.alias("a"), ib.alias("b"),
+                (inter / (na + nb - inter)).alias("jac"))
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(id, simhash): ``bits``-wide SimHash over the doc's distinct terms.
+
+    Bit j is set when sum over terms of (2*((h(term)>>j)&1) - 1) > 0.
+    Runs as explode(term) x explode(bit) -> two-phase groupBy sum — all
+    Catalyst integer ops.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("t")
+    ).withColumn("h", md5_long(F.col("t")))
+    bitrows = terms.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    )
+    contrib = F.expr("2 * ((h >> j) & 1) - 1")
+    bitsum = bitrows.groupBy(id_col, "j").agg(F.sum(contrib).alias("v"))
+    hashed = (
+        bitsum.filter(F.col("v") > 0)
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("cast(1 as bigint) << j")).alias("simhash"))
+    )
+    return (
+        df.select(id_col)
+        .join(hashed, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
+    )
+
+
+# -- text analysis -------------------------------------------------------------
+
+STOPWORDS = ("a", "the")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_uniq, ttr): token count, vocabulary size,
+    type-token ratio."""
+    toks = tokenize_col(F.col(text_col))
+    n = F.size(toks).cast("long")
+    nu = F.size(F.array_distinct(toks)).cast("long")
+    return df.select(
+        F.col(id_col), n.alias("n_tokens"), nu.alias("n_uniq"),
+        (nu.cast("double") / n.cast("double")).alias("ttr"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, stop_ratio, avg_len, quality): simple curation heuristics
+    — stopword density, mean token length, and a linear quality score
+    (avg_len/10 - stop_ratio)."""
+    toks = tokenize_col(F.col(text_col))
+    n = F.size(toks).cast("double")
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t)).cast("double")
+    stop_ratio = stop_cnt / n
+    avg_len = sum_len / n
+    return df.select(
+        F.col(id_col),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_len"),
+        (avg_len / F.lit(10.0) - stop_ratio).alias("quality"),
+    )
+
+
+# Marker vocabularies for the n-gram-free language-ID heuristic. Ordered
+# dict: ties break on ascending language code.
+LANG_MARKERS = {
+    "de": ("hash", "big"),
+    "en": ("the", "a", "table"),
+    "es": ("slow", "agg"),
+    "fr": ("scan", "batch"),
+    "zh": ("join", "small"),
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text",
+            markers: dict[str, tuple[str, ...]] = LANG_MARKERS) -> DataFrame:
+    """(id, pred_lang): marker-set language ID — argmax of per-language
+    marker occurrence counts, ties broken by ascending language code."""
+    toks = tokenize_col(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"s_{lang}")
+            for lang, words in markers.items()
+        ],
+    )
+    # argmax via sort of (score desc, lang asc) structs
+    pairs = F.array(*[
+        F.struct((-F.col(f"s_{lang}")).alias("neg"), F.lit(lang).alias("lang"))
+        for lang in markers
+    ])
+    return scored.select(
+        id_col, F.array_sort(pairs)[0]["lang"].alias("pred_lang")
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", shingle: int = 5) -> DataFrame:
+    """(id, fp): order-invariant document fingerprint = min hash over
+    character-level ``shingle``-gram hashes of the full text (winnowing's
+    degenerate single-window form)."""
+    txt = F.lower(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(txt) - (shingle - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: txt.substr(i, F.lit(shingle)))
+    g = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    return g.groupBy(id_col).agg(F.min(md5_long(F.col("g"))).alias("fp"))
+
+
+def binary_meta(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "text") -> DataFrame:
+    """(id, n_bytes, sha): opaque-payload plumbing — byte length + sha256
+    of the utf-8 payload. The pattern for multimodal binary columns: carry
+    bytes opaquely, index typed metadata next to them."""
+    c = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(c).cast("long").alias("n_bytes"),
+        F.sha2(c, 256).alias("sha"),
+    )
