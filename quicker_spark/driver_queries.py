@@ -4,8 +4,9 @@ Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``
 exercising one engine operator (SURVEY.md §2) or training-data operator
 over the driver's ``documents`` / ``embeddings`` parquet tables; the
 matching :data:`ORACLE_SQL` string computes the identical result in ANSI
-SQL (DuckDB), column names aligned, floats rounded to 4 dp AFTER full-
-precision selection so the value-hash compare is byte-stable.
+SQL (DuckDB), column names aligned; float outputs are canonicalized to
+scaled int64 (``round(x * 10000)``) AFTER full-precision selection so the
+value-hash compare never hits engine-specific rounding.
 
 Index-backed queries build the real segmented index (tokenize → salted
 posting build → varbyte encode → parquet segments) once per sf_dir into a

@@ -21,13 +21,14 @@ _MASK7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to varbyte bytes (little-endian 7-bit groups,
-    high bit set = more bytes follow)."""
+def varbyte_encode_with_counts(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array to varbyte bytes, also returning the byte
+    count per value (so callers can compute block offsets into the stream
+    without re-encoding per block)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value
     nb = np.ones(n, dtype=np.int64)
     rest = v >> _U7
@@ -45,7 +46,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         more = (i < nb[mask] - 1)
         out[idx] = np.where(more, byte | _CONT, byte)
         work >>= _U7
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte bytes (little-endian 7-bit groups,
+    high bit set = more bytes follow)."""
+    return varbyte_encode_with_counts(values)[0]
 
 
 def varbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

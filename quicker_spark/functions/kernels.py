@@ -25,7 +25,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from quicker_spark.functions.codec import delta_encode, varbyte_decode, varbyte_encode
+from quicker_spark.functions.codec import (
+    delta_encode,
+    varbyte_decode,
+    varbyte_encode_with_counts,
+)
 from quicker_spark.model import B, K1
 
 DEFAULT_BLOCK = 128
@@ -100,41 +104,133 @@ class EncodedPostings:
 def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     bits: np.ndarray, avgdl: float, k1: float = K1,
                     b: float = B, block_size: int = DEFAULT_BLOCK) -> EncodedPostings:
-    """Encode one (segment, term) run. ``ids`` must be strictly ascending."""
+    """Encode one (segment, term) run. ``ids`` must be strictly ascending.
+
+    Fully vectorized: each of the four streams is ONE varbyte pass over
+    the whole run (per-block python calls made a hot 20k-posting term cost
+    ~640 tiny encode calls and dominated the build). Block offsets come
+    from the per-value byte counts; the id delta chain restarts at block
+    starts by patching those positions back to absolute values.
+    """
     n = len(ids)
+    if n == 0:
+        z = np.zeros(1, dtype=np.int32)
+        return EncodedPostings(
+            df=0, ids=b"", tfs=b"", dls=b"", bits=b"",
+            block_last=np.zeros(0, dtype=np.int64),
+            block_max_u=np.zeros(0, dtype=np.float64),
+            off_ids=z, off_tfs=z, off_dls=z, off_bits=z,
+            block_size=block_size,
+        )
     ids = np.ascontiguousarray(ids, dtype=np.int64)
     u = bm25_u(np.asarray(tfs), np.asarray(dls), avgdl, k1, b)
     starts = np.arange(0, n, block_size)
     n_blocks = len(starts)
     ends = np.append(starts[1:], n)
 
-    id_chunks, tf_chunks, dl_chunks, bit_chunks = [], [], [], []
-    off_ids = np.zeros(n_blocks + 1, dtype=np.int32)
-    off_tfs = np.zeros(n_blocks + 1, dtype=np.int32)
-    off_dls = np.zeros(n_blocks + 1, dtype=np.int32)
-    off_bits = np.zeros(n_blocks + 1, dtype=np.int32)
-    block_last = np.empty(n_blocks, dtype=np.int64)
-    block_max_u = np.empty(n_blocks, dtype=np.float64)
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        blk_ids = ids[s:e].astype(np.uint64)
-        id_chunks.append(varbyte_encode(delta_encode(blk_ids)))
-        tf_chunks.append(varbyte_encode(np.asarray(tfs[s:e], dtype=np.uint64)))
-        dl_chunks.append(varbyte_encode(np.asarray(dls[s:e], dtype=np.uint64)))
-        bit_chunks.append(varbyte_encode(np.asarray(bits[s:e], dtype=np.uint64)))
-        off_ids[i + 1] = off_ids[i] + len(id_chunks[-1])
-        off_tfs[i + 1] = off_tfs[i] + len(tf_chunks[-1])
-        off_dls[i + 1] = off_dls[i] + len(dl_chunks[-1])
-        off_bits[i + 1] = off_bits[i] + len(bit_chunks[-1])
-        block_last[i] = ids[e - 1]
-        # nextafter-up keeps the bound admissible under any float reordering
-        block_max_u[i] = np.nextafter(u[s:e].max(), np.inf)
+    ids_u = ids.astype(np.uint64)
+    deltas = delta_encode(ids_u)
+    deltas[starts] = ids_u[starts]  # block-independent decode
+
+    def stream(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+        buf, nb = varbyte_encode_with_counts(np.asarray(vals, dtype=np.uint64))
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nb, out=cum[1:])
+        return buf, cum[np.append(starts, n)].astype(np.int32)
+
+    id_buf, off_ids = stream(deltas)
+    tf_buf, off_tfs = stream(tfs)
+    dl_buf, off_dls = stream(dls)
+    bit_buf, off_bits = stream(bits)
+
+    block_last = ids[ends - 1]
+    # nextafter-up keeps the bound admissible under any float reordering
+    block_max_u = np.nextafter(np.maximum.reduceat(u, starts), np.inf)
     return EncodedPostings(
-        df=n, ids=b"".join(id_chunks), tfs=b"".join(tf_chunks),
-        dls=b"".join(dl_chunks), bits=b"".join(bit_chunks),
+        df=n, ids=id_buf, tfs=tf_buf, dls=dl_buf, bits=bit_buf,
         block_last=block_last, block_max_u=block_max_u,
         off_ids=off_ids, off_tfs=off_tfs, off_dls=off_dls, off_bits=off_bits,
         block_size=block_size,
     )
+
+
+def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
+                          avgdl: float, k1: float = K1, b: float = B,
+                          block_size: int = DEFAULT_BLOCK) -> list[tuple]:
+    """Encode a whole Arrow batch of posting runs with O(1) numpy passes.
+
+    Same layout as :func:`encode_postings` row by row (tested identical),
+    but all four streams of ALL rows are varbyte-encoded in one call each:
+    per-row numpy dispatch made the encoder the build's bottleneck once
+    tokenization was vectorized (most terms are tiny runs — 30 numpy calls
+    of ~3 elements per row is pure overhead).
+
+    Returns one tuple per row matching POSTINGS_SCHEMA field order.
+    """
+    nrows = len(ids_col)
+    if nrows == 0:
+        return []
+    lens = np.fromiter((len(x) for x in ids_col), dtype=np.int64, count=nrows)
+    total = int(lens.sum())
+    row_starts = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_starts[1:])
+    ids = np.concatenate([np.asarray(x, dtype=np.int64) for x in ids_col])
+    tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs_col])
+    dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_col])
+    bts = np.concatenate([np.asarray(x, dtype=np.int64) for x in bits_col])
+
+    row_idx = np.repeat(np.arange(nrows), lens)
+    # sort each run by doc_id here (one C lexsort per batch) — JVM-side
+    # sort_array over millions of 4-field structs was pure GC pressure
+    # (measured 500s+ of GC in the merge stage at 600k docs)
+    order = np.lexsort((ids, row_idx))
+    if not np.array_equal(order, np.arange(total)):
+        ids, tfs, dls, bts = ids[order], tfs[order], dls[order], bts[order]
+    rel = np.arange(total, dtype=np.int64) - row_starts[row_idx]
+    is_start = (rel % block_size) == 0
+    # delta chain restarting at every block start (row starts included)
+    prev = np.empty(total, dtype=np.int64)
+    prev[0] = 0
+    prev[1:] = ids[:-1]
+    deltas = np.where(is_start, ids, ids - prev).astype(np.uint64)
+
+    u = bm25_u(tfs, dls, avgdl, k1, b)
+    bstart_idx = np.nonzero(is_start)[0]
+    # block index ranges per row
+    n_blocks_row = ((lens + block_size - 1) // block_size).astype(np.int64)
+    brow_starts = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(n_blocks_row, out=brow_starts[1:])
+    # block end positions: next block start (or row end)
+    bend_idx = np.empty(len(bstart_idx), dtype=np.int64)
+    bend_idx[:-1] = bstart_idx[1:]
+    bend_idx[-1] = total
+    # rows' last blocks end at the row end, not the next row's first block
+    bend_idx[brow_starts[1:] - 1] = row_starts[1:]
+    block_last_all = ids[bend_idx - 1]
+    block_max_all = np.nextafter(np.maximum.reduceat(u, bstart_idx), np.inf)
+
+    streams = []
+    for vals in (deltas, tfs.astype(np.uint64), dls.astype(np.uint64),
+                 bts.astype(np.uint64)):
+        buf, nb = varbyte_encode_with_counts(vals)
+        cum = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(nb, out=cum[1:])
+        streams.append((buf, cum))
+
+    out = []
+    for r in range(nrows):
+        s, e = row_starts[r], row_starts[r + 1]
+        bs, be = brow_starts[r], brow_starts[r + 1]
+        blk_bounds = np.append(bstart_idx[bs:be], e)
+        row = [int(lens[r])]
+        for buf, cum in streams:
+            row.append(buf[cum[s]:cum[e]])
+        row.append(block_last_all[bs:be].tolist())
+        row.append(block_max_all[bs:be].tolist())
+        for _, cum in streams:
+            row.append((cum[blk_bounds] - cum[s]).astype(np.int32).tolist())
+        out.append(tuple(row))
+    return out
 
 
 # -- vectorized predicates / set ops -----------------------------------------

@@ -42,8 +42,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from quicker_spark.functions.kernels import DEFAULT_BLOCK, encode_postings
-from quicker_spark.functions.tokenize import tokenize_col, tokenize_udf
+from quicker_spark.functions.kernels import DEFAULT_BLOCK, encode_postings_batch
+from quicker_spark.functions.tokenize import (
+    make_term_tf_udf,
+    tokenize_col,
+    tokenize_udf,
+)
 from quicker_spark.model import B, K1
 from quicker_spark.operators.docs import prepare_docs
 
@@ -57,9 +61,13 @@ class IndexConfig:
     b: float = B
     wave_segments: int = 64          # segments per checkpointed build wave
     fields: tuple[str, ...] = ("content", "repo", "path", "lang")
-    use_arrow_tokenizer: bool = True  # pandas UDF (north rule) vs Catalyst split
+    use_arrow_tokenizer: bool = False  # Arrow UDF tokenizer in explode mode
     n_parts: int | None = None       # doc-id assignment parallelism
     id_col: str | None = None        # trust a pre-assigned dense int64 id
+    # 'arrow_pairs': tokenize+count per doc in one Arrow UDF pass, explode
+    # unique (term, tf) pairs — one less shuffle stage, ~40% fewer rows.
+    # 'explode': pure-Catalyst explode + groupBy().count() (parity path).
+    tf_mode: str = "arrow_pairs"
 
 
 POSTINGS_SCHEMA = T.StructType([
@@ -78,17 +86,18 @@ POSTINGS_SCHEMA = T.StructType([
 
 
 def _encode_udf(avgdl: float, k1: float, b: float, block_size: int):
-    """Arrow UDF: aligned primitive arrays -> block-compressed layout."""
+    """Arrow UDF: aligned primitive arrays -> block-compressed layout.
+
+    Whole-batch vectorized (encode_postings_batch): one varbyte pass per
+    stream per Arrow batch instead of ~30 numpy calls per posting run.
+    """
 
     @F.pandas_udf(POSTINGS_SCHEMA)
     def enc(doc_ids: pd.Series, tfs: pd.Series, dls: pd.Series,
             bits: pd.Series) -> pd.DataFrame:
-        rows = []
-        for di, tf, dl, bt in zip(doc_ids, tfs, dls, bits):
-            e = encode_postings(di, tf, dl, bt, avgdl, k1, b, block_size)
-            rows.append((e.df, e.ids, e.tfs, e.dls, e.bits,
-                         e.block_last, e.block_max_u,
-                         e.off_ids, e.off_tfs, e.off_dls, e.off_bits))
+        rows = encode_postings_batch(
+            doc_ids.to_numpy(), tfs.to_numpy(), dls.to_numpy(),
+            bits.to_numpy(), avgdl, k1, b, block_size)
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
     return enc
@@ -110,23 +119,40 @@ def _terms_col(cfg: IndexConfig):
 
 
 def wave_postings(docs_wave: DataFrame, cfg: IndexConfig, avgdl: float) -> DataFrame:
-    """The 5-stage posting build for one wave of segments."""
-    toks = docs_wave.select(
-        "segment_id", "doc_id", F.col("doc_len").alias("dl"),
-        F.col("bits_feature").alias("bitsf"),
-        F.explode(_terms_col(cfg)).alias("term"),
-    )
-    tf = toks.groupBy("segment_id", "term", "doc_id", "dl", "bitsf").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    """The posting build for one wave of segments."""
+    if cfg.tf_mode == "arrow_pairs":
+        udf = make_term_tf_udf(cfg.fields)
+        tf = docs_wave.select(
+            "segment_id", "doc_id", F.col("doc_len").alias("dl"),
+            F.col("bits_feature").alias("bitsf"),
+            udf(*[F.col(f) for f in cfg.fields]).alias("p"),
+        ).select(
+            "segment_id", "doc_id", "dl", "bitsf",
+            F.explode(F.arrays_zip("p.terms", "p.tfs")).alias("z"),
+        ).select("segment_id", F.col("z.terms").alias("term"),
+                 "doc_id", "dl", "bitsf", F.col("z.tfs").alias("tf"))
+    else:
+        toks = docs_wave.select(
+            "segment_id", "doc_id", F.col("doc_len").alias("dl"),
+            F.col("bits_feature").alias("bitsf"),
+            F.explode(_terms_col(cfg)).alias("term"),
+        )
+        tf = toks.groupBy("segment_id", "term", "doc_id", "dl", "bitsf").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    # Postings stay UNSORTED through both aggregations — the encoder's
+    # numpy lexsort orders each run by doc_id. (JVM sort_array over struct
+    # arrays doubled the merge stage's GC time; the order of collect_list
+    # is nondeterministic either way, so the sort must happen once at the
+    # end regardless.)
     partial = (
         tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
         .groupBy("segment_id", "term", "salt")
-        .agg(F.sort_array(F.collect_list(
-            F.struct("doc_id", "tf", "dl", "bitsf"))).alias("plist"))
+        .agg(F.collect_list(
+            F.struct("doc_id", "tf", "dl", "bitsf")).alias("plist"))
     )
     merged = partial.groupBy("segment_id", "term").agg(
-        F.sort_array(F.flatten(F.collect_list("plist"))).alias("plist")
+        F.flatten(F.collect_list("plist")).alias("plist")
     )
     cols = merged.select(
         "segment_id", "term",
@@ -146,6 +172,38 @@ def _success(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
+               cfg: IndexConfig, avgdl: float, out_dir: str,
+               wkey: int | None = None) -> float:
+    """Build + checkpoint one wave of segments; returns elapsed seconds.
+
+    Idempotent overwrite of ``postings/wave=K`` and ``manifest/wave=K`` —
+    the unit of resume AND of index maintenance (delete/upsert rebuild
+    affected waves through this same path).
+    """
+    w0 = time.time()
+    wkey = min(wave) if wkey is None else wkey
+    lo, hi = min(wave) * cfg.seg_docs, (max(wave) + 1) * cfg.seg_docs
+    docs_wave = docs_df.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        & F.col("segment_id").isin([int(s) for s in wave])
+    )
+    post = wave_postings(docs_wave, cfg, avgdl)
+    (post.sortWithinPartitions("term")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "postings", f"wave={wkey}")))
+    # lineage manifest for this wave (idempotent overwrite)
+    wrote = spark.read.parquet(os.path.join(out_dir, "postings", f"wave={wkey}"))
+    mrows = (
+        wrote.groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"))
+        .withColumn("build_secs", F.lit(float(time.time() - w0)))
+    )  # `wave` column comes from the wave=K partition directory on read
+    mrows.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest", f"wave={wkey}"))
+    return time.time() - w0
+
+
 @dataclass
 class BuildReport:
     n_docs: int
@@ -155,6 +213,8 @@ class BuildReport:
     build_secs: float
     docs_per_sec: float
     wave_secs: list[float] = field(default_factory=list)
+    prepare_secs: float = 0.0
+    term_stats_secs: float = 0.0
 
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
@@ -175,6 +235,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     stats_path = os.path.join(out_dir, "stats.json")
 
     # -- phase 1: forward index + global stats (skipped when checkpointed)
+    t_prep = time.time()
     if not (resume and _success(docs_path) and os.path.exists(stats_path)):
         docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts,
                             id_col=cfg.id_col)
@@ -187,10 +248,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             "n_docs": int(agg["n"]), "total_len": int(agg["total"] or 0),
             "k1": cfg.k1, "b": cfg.b, "seg_docs": cfg.seg_docs,
             "block_size": cfg.block_size, "fields": list(cfg.fields),
+            "n_salts": cfg.n_salts, "wave_segments": cfg.wave_segments,
         }
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
         with open(stats_path, "w") as fh:
             json.dump(stats, fh)
+    prepare_secs = time.time() - t_prep
     with open(stats_path) as fh:
         stats = json.load(fh)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -217,30 +280,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     wave_secs: list[float] = []
     for wave in waves:
-        w0 = time.time()
-        lo, hi = min(wave) * cfg.seg_docs, (max(wave) + 1) * cfg.seg_docs
-        docs_wave = docs_df.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            & F.col("segment_id").isin([int(s) for s in wave])
-        )
-        post = wave_postings(docs_wave, cfg, avgdl)
-        wkey = min(wave)
-        (post.sortWithinPartitions("term")
-             .write.mode("overwrite")
-             .parquet(os.path.join(out_dir, "postings", f"wave={wkey}")))
-        # lineage manifest for this wave (idempotent overwrite)
-        wrote = spark.read.parquet(os.path.join(out_dir, "postings", f"wave={wkey}"))
-        mrows = (
-            wrote.groupBy("segment_id")
-            .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"))
-            .withColumn("wave", F.lit(wkey))
-            .withColumn("build_secs", F.lit(float(time.time() - w0)))
-        )
-        mrows.write.mode("overwrite").parquet(
-            os.path.join(manifest_path, f"wave={wkey}"))
-        wave_secs.append(time.time() - w0)
+        wave_secs.append(write_wave(spark, docs_df, wave, cfg, avgdl, out_dir))
 
     # -- phase 3: global term stats (once everything is manifested)
+    t_ts = time.time()
     all_done = not [s for s in range(n_segments)
                     if s not in done.union(s for w in waves for s in w)]
     if all_done and (waves or not _success(os.path.join(out_dir, "term_stats"))):
@@ -248,6 +291,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         (posts.groupBy("term").agg(F.sum("df").alias("df_global"))
               .write.mode("overwrite")
               .parquet(os.path.join(out_dir, "term_stats")))
+    term_stats_secs = time.time() - t_ts
 
     secs = time.time() - t0
     built_docs = sum(min(cfg.seg_docs, n_docs - s * cfg.seg_docs)
@@ -258,9 +302,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         build_secs=secs,
         docs_per_sec=(built_docs / secs) if secs > 0 else 0.0,
         wave_secs=wave_secs,
+        prepare_secs=prepare_secs,
+        term_stats_secs=term_stats_secs,
     )
     with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
         json.dump({**stats, "build_secs": secs, "docs_per_sec": report.docs_per_sec,
                    "waves_run": len(waves), "wave_secs": wave_secs,
+                   "prepare_secs": prepare_secs,
+                   "term_stats_secs": term_stats_secs,
                    "n_segments": n_segments}, fh)
     return report

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel, TaskContext
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,26 +55,45 @@ def assign_doc_ids(df: DataFrame, key_cols=DOC_KEY_COLS,
     keyed = df.withColumn(
         "_h", F.sha2(F.concat_ws("\x01", *[F.col(c) for c in key_cols]), 256)
     )
+    # repartitionByRange SAMPLES its input to pick bounds, then reads it
+    # again — persist first so the upstream plan (e.g. corpus generation)
+    # runs once, not twice.
+    keyed.persist(StorageLevel.MEMORY_AND_DISK)
     parted = keyed.repartitionByRange(n_parts, "_h").sortWithinPartitions("_h")
     parted.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = (
-        parted.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid").count().collect()
-    )
-    offsets: dict[int, int] = {}
+
+    # Per-partition (first key, row count). Offsets are keyed by the
+    # partition's FIRST HASH, not its partition index: TaskContext
+    # partition ids are physical task indices and get renumbered when this
+    # plan is embedded under a union/join, which would silently misalign
+    # every offset. Range partitions are disjoint in _h, so the first key
+    # identifies a partition in any later job over the same cache.
+    def part_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first_h, n = None, 0
+        for pdf in batches:
+            if len(pdf) and first_h is None:
+                first_h = pdf["_h"].iloc[0]
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame({"first_h": [first_h], "n": [n]})
+
+    stats = parted.mapInPandas(part_stats, "first_h string, n long").collect()
+    keyed.unpersist()
+    offsets: dict[str, int] = {}
     acc = 0
-    for r in sorted(counts, key=lambda r: r["pid"]):
-        offsets[r["pid"]] = acc
-        acc += r["count"]
+    for r in sorted(stats, key=lambda r: r["first_h"]):
+        offsets[r["first_h"]] = acc
+        acc += r["n"]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(parted.schema.fields + [T.StructField("doc_id", T.LongType())])
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tc = TaskContext.get()
-        start = b_offsets.value.get(tc.partitionId(), 0)
+        start = None
         for pdf in batches:
             n = len(pdf)
+            if n and start is None:
+                start = b_offsets.value[pdf["_h"].iloc[0]]
             pdf = pdf.copy()
             pdf["doc_id"] = np.arange(start, start + n, dtype=np.int64)
             start += n
@@ -100,7 +119,8 @@ def dedupe_latest(df: DataFrame, key_cols=DOC_KEY_COLS,
 
 def prepare_docs(corpus: DataFrame, seg_docs: int,
                  n_parts: int | None = None,
-                 id_col: str | None = None) -> DataFrame:
+                 id_col: str | None = None,
+                 start_id: int = 0) -> DataFrame:
     """Corpus -> forward-index rows with deterministic ids and segments.
 
     segment_id = doc_id // seg_docs: contiguous doc ranges, so posting-list
@@ -119,6 +139,10 @@ def prepare_docs(corpus: DataFrame, seg_docs: int,
                      .repartitionByRange(n, "doc_id"))
     else:
         ids = assign_doc_ids(corpus, n_parts=n_parts)
+    if start_id:
+        # fresh-id appends for upsert (reference: re-added docs always get
+        # larger DocIds, index_service/indexer.go:76-82)
+        ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(int(start_id)))
     return ids.select(
         "doc_id",
         F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),

@@ -154,3 +154,37 @@ def test_filter_by_bits_vec_matches_scalar():
         vec = filter_by_bits_vec(bits, on, off, orf)
         ref = np.array([filter_by_bits(int(x), on, off, orf) for x in bits])
         np.testing.assert_array_equal(vec, ref)
+
+
+def test_encode_batch_matches_row_encoder():
+    """encode_postings_batch must produce byte-identical layout to the
+    row-at-a-time encoder for every row, including multi-block runs."""
+    import numpy as np
+
+    from quicker_spark.functions.kernels import (
+        encode_postings,
+        encode_postings_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for n in [1, 2, 5, 127, 128, 129, 300, 1000]:
+        ids = np.sort(rng.choice(np.arange(n * 7), size=n, replace=False))
+        tfs = rng.integers(1, 50, n)
+        dls = rng.integers(20, 400, n)
+        bits = rng.integers(0, 1 << 11, n)
+        rows.append((ids, tfs, dls, bits))
+    batch = encode_postings_batch(
+        [r[0] for r in rows], [r[1] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows], avgdl=150.0,
+        block_size=128)
+    assert len(batch) == len(rows)
+    for (ids, tfs, dls, bits), got in zip(rows, batch):
+        e = encode_postings(ids, tfs, dls, bits, avgdl=150.0, block_size=128)
+        assert got[0] == e.df
+        assert got[1] == e.ids and got[2] == e.tfs
+        assert got[3] == e.dls and got[4] == e.bits
+        assert got[5] == list(e.block_last)
+        assert got[6] == list(e.block_max_u)
+        assert got[7] == list(e.off_ids) and got[8] == list(e.off_tfs)
+        assert got[9] == list(e.off_dls) and got[10] == list(e.off_bits)

@@ -1,0 +1,128 @@
+"""Delete/upsert maintenance vs a freshly-built oracle on the edited corpus.
+
+Replicates the reference's indexer_test.go delete -> search -> re-add ->
+search cycle (index_service/test/indexer_test.go:119-185) at wave
+granularity: after maintenance, BM25 scores and boolean matches must equal
+an oracle built from scratch on the post-edit corpus (stats, idf, and WAND
+bounds all refreshed), compared by business id (engine ids are stable
+across deletes; re-added docs get fresh larger ids).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_pdf
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.operators.maintain import delete_docs, upsert_docs
+from quicker_spark.oracle import Oracle
+from quicker_spark.plans.term_query import And, NewTermQuery, Or
+
+N_DOCS = 300
+CFG = IndexConfig(seg_docs=100, wave_segments=2, n_salts=4)
+
+QUERIES = [
+    Or(NewTermQuery("content", "def"), NewTermQuery("content", "return")),
+    And(NewTermQuery("content", "import"), NewTermQuery("content", "if")),
+    Or(NewTermQuery("content", "struct"), NewTermQuery("content", "impl"),
+       NewTermQuery("content", "fn")),
+]
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    pdf = corpus_pdf(N_DOCS)
+    corpus = spark.createDataFrame(pdf)
+    build_index(spark, corpus, out, CFG, resume=False)
+    return out
+
+
+def _assert_matches_oracle(spark, index_dir, oracle, k=10):
+    eng = SearchEngine(spark, index_dir)
+    assert eng.stats["n_docs"] == oracle.n_docs
+    assert abs(eng.stats["avgdl"] - oracle.avgdl) < 1e-9
+    for q in QUERIES:
+        exp = oracle.search_topk(q, k=k)
+        got = (eng.search(q, k=k, hydrate=True)
+               .orderBy(F.desc("score"), F.asc("doc_id")).collect())
+        assert [r["id"] for r in got] == [h.id for h in exp], str(q)
+        for r, h in zip(got, exp):
+            assert abs(r["score"] - h.score) < 1e-9
+        exp_bool = oracle.search_bool(q)
+        got_bool = [r["id"]
+                    for r in eng.search_bool(q, hydrate=True).collect()]
+        assert sorted(got_bool) == sorted(exp_bool)
+
+
+def test_delete_docs(spark, index_dir):
+    pdf = corpus_pdf(N_DOCS)
+    full = Oracle(pdf)
+    victims = [3, 7, 150, 250]  # spans all three segments / both waves
+    victim_keys = {full.docs[d]["id"] for d in victims}
+
+    res = delete_docs(spark, index_dir, victims)
+    assert res["n_docs"] == N_DOCS - len(victims)
+    assert res["rebuilt_waves"] and res["refreshed_waves"] is not None
+
+    remaining = pdf[~pdf.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}" in victim_keys, axis=1)]
+    oracle = Oracle(remaining)
+    _assert_matches_oracle(spark, index_dir, oracle)
+
+    # deleted docs are gone from the forward index too (S5 semantics)
+    eng = SearchEngine(spark, index_dir)
+    assert eng.docs.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_upsert_docs(spark, index_dir):
+    pdf = corpus_pdf(N_DOCS)
+    old_max = N_DOCS - 1
+
+    replaced = pdf.iloc[[5, 42, 260]].copy()
+    replaced["content"] = replaced["content"] + " zebra zebra zebra"
+    brand_new = corpus_pdf(4, start=10_000)
+    batch = __import__("pandas").concat([replaced, brand_new])
+
+    res = upsert_docs(spark, index_dir, spark.createDataFrame(batch))
+    assert res["n_inserted"] == len(batch)
+    assert res["n_replaced"] == len(replaced)
+
+    # post-edit corpus: originals minus replaced keys, plus the new batch
+    keys = {f"{r.repo}:{r.path}@{r.commit}" for _, r in batch.iterrows()}
+    kept = pdf[~pdf.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}" in keys, axis=1)]
+    oracle = Oracle(__import__("pandas").concat([kept, batch]))
+    _assert_matches_oracle(spark, index_dir, oracle)
+
+    # fresh-id contract: every upserted doc got an id past the old max
+    eng = SearchEngine(spark, index_dir)
+    new_rows = eng.docs.filter(F.col("doc_id") > old_max).count()
+    assert new_rows == len(batch)
+    # replaced keys exist once: originals out, whole batch in
+    assert eng.count() == N_DOCS - len(replaced) + len(batch)
+
+    # per-row ingestion invariant: stored sha == sha256(content)
+    bad = eng.docs.filter(
+        F.sha2(F.col("content"), 256) != F.col("doc_sha")).count()
+    assert bad == 0
+
+
+def test_upsert_zebra_searchable(spark, index_dir):
+    """Re-added content is immediately searchable (indexer_test.go:119-185
+    delete -> re-add -> search cycle)."""
+    pdf = corpus_pdf(N_DOCS)
+    replaced = pdf.iloc[[5]].copy()
+    replaced["content"] = "zebra zebra zebra unique_marker"
+    upsert_docs(spark, index_dir, spark.createDataFrame(replaced))
+    eng = SearchEngine(spark, index_dir)
+    hits = eng.search(NewTermQuery("content", "zebra"), k=5,
+                      hydrate=True).collect()
+    assert len(hits) == 1
+    assert hits[0]["id"] == f"{replaced.iloc[0].repo}:{replaced.iloc[0].path}@{replaced.iloc[0].commit}"
+    assert hits[0]["doc_id"] >= N_DOCS  # fresh id past old max
