@@ -1,0 +1,128 @@
+"""Search template: pluggable recall strategies + filter chain.
+
+Recreates the reference's demo search stack (reference:
+demo/job/search/searcher.go:16-98) as thin composition over the engine:
+
+- a ``Recaller`` builds a TermQuery + flags from the request context and
+  produces a hits DataFrame (reference: recaller/keyword.go:16-48,
+  keyword_author.go:16-54)
+- ``Searcher.search`` runs every recaller, merges with business-id dedup
+  (reference: searcher.go:62-78 — first-writer-wins channel merge; here
+  max-score-wins, deterministic), then applies the filter chain
+  sequentially (searcher.go:81-85)
+- a ``Filter`` is any ``DataFrame -> DataFrame`` (reference:
+  filter/filter.go:18-33 — the view-range filter becomes a plain column
+  predicate)
+
+The reference fans recallers out over goroutines; here each recall is an
+independent DataFrame pipeline and the union IS the parallel plan —
+Spark schedules both subtrees' stages concurrently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.plans.term_query import And, NewTermQuery, TermQuery
+
+Filter = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class SearchContext:
+    """Request context (reference: common/model.go:10-15 +
+    param/search.go:3-9)."""
+    keywords: tuple[str, ...] = ()
+    author: str = ""
+    class_bits: int = 0            # orFlags source (handler/search.go:40-52)
+    extra: dict = field(default_factory=dict)
+
+
+class Recaller:
+    """Base recall strategy; subclasses build the query."""
+
+    name = "base"
+
+    def query(self, ctx: SearchContext) -> TermQuery:
+        raise NotImplementedError
+
+    def or_flags(self, ctx: SearchContext) -> tuple:
+        return (ctx.class_bits,) if ctx.class_bits else ()
+
+    def recall(self, eng: SearchEngine, ctx: SearchContext, k: int) -> DataFrame:
+        q = self.query(ctx)
+        # an Empty query yields a hydrated empty frame (union-compatible)
+        return eng.search(q, k=k, or_flags=self.or_flags(ctx), hydrate=True)
+
+
+class KeywordRecaller(Recaller):
+    """AND of all keywords on content, AND author if given
+    (reference: recaller/keyword.go:25-36)."""
+
+    name = "keyword"
+
+    def query(self, ctx: SearchContext) -> TermQuery:
+        leaves = [NewTermQuery("content", w) for w in ctx.keywords]
+        if ctx.author:
+            leaves.append(NewTermQuery("repo", ctx.author.lower()))
+        return And(*leaves)
+
+
+class KeywordAuthorRecaller(Recaller):
+    """Keywords + session author from ctx.extra
+    (reference: recaller/keyword_author.go:24-38)."""
+
+    name = "keyword_author"
+
+    def query(self, ctx: SearchContext) -> TermQuery:
+        author = str(ctx.extra.get("user_name", "")).lower()
+        if not author:
+            return TermQuery()  # Empty -> recall contributes nothing
+        leaves = [NewTermQuery("content", w) for w in ctx.keywords]
+        leaves.append(NewTermQuery("repo", author))
+        return And(*leaves)
+
+
+def range_filter(col: str, lo, hi) -> Filter:
+    """Post-recall range predicate; no-op when lo >= hi (reference:
+    filter/filter.go:22-27 keeps all when ViewFrom >= ViewTo)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        if lo is not None and hi is not None and lo >= hi:
+            return df
+        out = df
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
+        return out
+
+    return apply
+
+
+@dataclass
+class Searcher:
+    """Template method: Recall -> merge/dedup -> Filter chain
+    (reference: searcher.go:87-98)."""
+
+    engine: SearchEngine
+    recallers: tuple[Recaller, ...] = (KeywordRecaller(),)
+    filters: tuple[Filter, ...] = ()
+
+    def search(self, ctx: SearchContext, k: int = 10) -> DataFrame:
+        frames = [r.recall(self.engine, ctx, k) for r in self.recallers]
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        # dedup by business id, keep the best-scored occurrence
+        w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (merged.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+        for flt in self.filters:
+            out = flt(out)
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

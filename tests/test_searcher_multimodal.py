@@ -1,0 +1,109 @@
+"""Searcher template (Q10-Q14 parity) + multimodal kernel plumbing."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_pdf
+from quicker_spark.operators import multimodal as mm
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.plans.searcher import (
+    KeywordAuthorRecaller,
+    KeywordRecaller,
+    SearchContext,
+    Searcher,
+    range_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("searcher") / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(spark, spark.createDataFrame(corpus_pdf(250)), out,
+                IndexConfig(seg_docs=250), resume=False)
+    return SearchEngine(spark, out)
+
+
+def test_keyword_recall_and_merge(eng):
+    s = Searcher(eng, recallers=(KeywordRecaller(), KeywordAuthorRecaller()))
+    ctx = SearchContext(keywords=("def", "return"),
+                        extra={"user_name": "org3"})
+    rows = s.search(ctx, k=5).collect()
+    assert 0 < len(rows) <= 5
+    # dedup by business id held
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # ordered by score desc
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_filter_chain(eng):
+    s = Searcher(eng, filters=(range_filter("doc_id", 0, 100),))
+    rows = s.search(SearchContext(keywords=("def",)), k=10).collect()
+    assert all(0 <= r["doc_id"] <= 100 for r in rows)
+    # degenerate range (lo >= hi) keeps everything — reference semantics
+    s2 = Searcher(eng, filters=(range_filter("doc_id", 100, 100),))
+    assert len(s2.search(SearchContext(keywords=("def",)), k=10).collect()) > 0
+
+
+def test_empty_query_recall(eng):
+    # KeywordAuthorRecaller with no session author contributes nothing
+    s = Searcher(eng, recallers=(KeywordAuthorRecaller(),))
+    assert s.search(SearchContext(keywords=("def",)), k=5).count() == 0
+
+
+# -- multimodal ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    pdf = corpus_pdf(40)
+    df = spark.createDataFrame(pdf).withColumn(
+        "rid", F.monotonically_increasing_id())
+    return mm.media_table(df, "rid", "content")
+
+
+def test_image_features_shapes(media):
+    feats = mm.image_features(media).collect()
+    assert len(feats) == 40
+    for r in feats:
+        assert r["width"] == mm.FAKE_W and r["height"] == mm.FAKE_H
+        assert 0.0 <= r["mean_r"] <= 255.0
+        assert len(r["sha"]) == 64
+
+
+def test_features_partition_invariant(media):
+    a = sorted((r["media_id"], r["sha"]) for r in
+               mm.image_features(media.repartition(1)).collect())
+    b = sorted((r["media_id"], r["sha"]) for r in
+               mm.image_features(media.repartition(7)).collect())
+    assert a == b
+
+
+def test_resize_payload_roundtrip(media):
+    out = mm.resize_images(media, 4, 3).collect()
+    assert len(out) == 40
+    for r in out:
+        assert len(bytes(r["payload"])) == 4 * 3 * 3  # w*h*rgb
+        assert r["width"] == 4 and r["height"] == 3
+
+
+def test_frame_sample_fanout(media):
+    frames = mm.frame_sample(media, every_n=2, n_frames=8)
+    rows = frames.collect()
+    assert len(rows) == 40 * 4  # frames 0,2,4,6 per media row
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_media)
+    # frames differ per index (fake decode is index-salted)
+    one = [r for r in rows if r["media_id"] == rows[0]["media_id"]]
+    assert len({r["frame_sha"] for r in one}) == len(one)
+
+
+def test_decode_strict_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_rgb(b"abc", strict=True)
