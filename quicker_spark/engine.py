@@ -57,15 +57,23 @@ def _is_flat_or(q: TermQuery) -> bool:
     return bool(q.should) and all(c.keyword for c in q.should)
 
 
-def _make_topk_kernel(query_json: str, idf: dict[str, float], avgdl: float,
+def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       k: int, on: int, off: int, or_flags: tuple,
                       k1: float, b: float, block_size: int, use_wand: bool):
+    """The idf arrives as a ``df_global`` column broadcast-joined onto
+    the postings rows — no per-query driver collect of term stats (one
+    less Spark job per search; at 10^12 docs the global term-stats table
+    is executor-side data, never driver state)."""
     query = json.loads(query_json)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
+        idf = {
+            r["term"]: bm25_idf(n_docs, int(r["df_global"]))
+            for _, r in pdf.iterrows()
+        }
         if use_wand:
             postings = {r["term"]: _row_to_encoded(r, block_size)
                         for _, r in pdf.iterrows()}
@@ -147,14 +155,17 @@ class SearchEngine:
         if not terms:
             return self._empty_hits(hydrate)
         use_wand = (mode == "wand") or (mode == "auto" and _is_flat_or(q))
-        idf = self._idf(terms)
         kern = _make_topk_kernel(
-            q.to_json(), idf, float(self.stats["avgdl"]), k, on, off,
-            tuple(or_flags), self.stats["k1"], self.stats["b"],
+            q.to_json(), int(self.stats["n_docs"]), float(self.stats["avgdl"]),
+            k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
             self.stats["block_size"], use_wand,
         )
+        ts = F.broadcast(
+            self.term_stats.filter(F.col("term").isin(list(terms))))
         seg_hits = (
             self._postings_for(terms)
+            .join(ts, "term", "left")
+            .fillna(0, subset=["df_global"])
             .groupBy("segment_id")
             .applyInPandas(kern, "doc_id long, score double")
         )

@@ -1,0 +1,56 @@
+"""Table IO seam: Iceberg catalog tables when available, parquet paths
+otherwise.
+
+The north rule targets Iceberg tables for the corpus and for checkpointed
+index segments (BASELINE.json). This sandbox's PySpark 4.1.2 install
+ships no Iceberg runtime jar (verified: no
+org.apache.iceberg.spark.SparkCatalog on the classpath), so the engine
+runs on the parquet layout everywhere here; this module is the switch
+point so a deployment WITH the Iceberg runtime flips formats without
+touching operator code.
+
+Location convention: a location containing ``/`` is a filesystem path
+(parquet); otherwise it is a dotted catalog table identifier
+(``catalog.db.table`` -> Iceberg). ``read_corpus`` is what the
+spark-submit CLIs use, so `--corpus my_cat.raw.source_files` works
+unchanged on a cluster with Iceberg configured.
+
+Index segments stay on the path layout in both modes: wave directories
+with idempotent overwrite ARE the checkpoint/lineage mechanism
+(SURVEY.md §7); an Iceberg-native variant would map waves to snapshots
+of a partitioned segments table, noted as future work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def is_path(location: str) -> bool:
+    return "/" in location or location.startswith(("file:", "s3:", "hdfs:"))
+
+
+def read_corpus(spark: SparkSession, location: str) -> DataFrame:
+    """Read a corpus from a parquet path or a catalog (Iceberg) table."""
+    if is_path(location):
+        return spark.read.parquet(location)
+    return spark.read.table(location)
+
+
+def write_corpus(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    if is_path(location):
+        df.write.mode(mode).parquet(location)
+    elif mode == "append":
+        df.writeTo(location).append()
+    else:
+        df.writeTo(location).createOrReplace()

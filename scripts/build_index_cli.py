@@ -43,12 +43,14 @@ def main() -> None:
     spark = b.config("spark.sql.adaptive.enabled", "true").getOrCreate()
 
     from quicker_spark.fixtures import corpus_df
+    from quicker_spark.io import read_corpus
     from quicker_spark.operators.build import IndexConfig, build_index
 
     if args.corpus.startswith("fixtures:"):
         corpus = corpus_df(spark, int(args.corpus.split(":", 1)[1]))
     else:
-        corpus = spark.read.parquet(args.corpus)
+        # parquet path or Iceberg catalog table (quicker_spark.io seam)
+        corpus = read_corpus(spark, args.corpus)
 
     cfg = IndexConfig(
         seg_docs=args.seg_docs, n_salts=args.salts,

@@ -1,0 +1,75 @@
+"""Streaming ingest: file-source micro-batches maintain the index."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_pdf
+from quicker_spark.operators.build import IndexConfig
+from quicker_spark.plans.term_query import NewTermQuery
+from quicker_spark.streaming.ingest import stream_ingest
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("src", "idx", "ckpt")}
+    os.makedirs(d["src"])
+    return d
+
+
+def _drain(spark, dirs):
+    src = spark.readStream.schema(SCHEMA).parquet(dirs["src"])
+    q = stream_ingest(spark, src, dirs["idx"], dirs["ckpt"],
+                      IndexConfig(seg_docs=200, n_salts=4))
+    q.awaitTermination(240)
+    assert not q.isActive
+
+
+def test_stream_bootstrap_then_upsert(spark, dirs):
+    # batch 1: bootstrap build
+    spark.createDataFrame(corpus_pdf(150)).coalesce(1).write.mode(
+        "append").parquet(dirs["src"])
+    _drain(spark, dirs)
+    eng = SearchEngine(spark, dirs["idx"])
+    assert eng.count() == 150
+
+    # batch 2: 30 new docs + 2 replacements with new content
+    batch2 = corpus_pdf(30, start=5000)
+    repl = corpus_pdf(150).iloc[[3, 77]].copy()
+    repl["content"] = "streamedzebra streamedzebra"
+    import pandas as pd
+    spark.createDataFrame(pd.concat([batch2, repl])).coalesce(1).write.mode(
+        "append").parquet(dirs["src"])
+    _drain(spark, dirs)
+
+    eng = SearchEngine(spark, dirs["idx"])
+    assert eng.count() == 180  # 150 - 2 replaced + 30 new + 2 re-added
+    hits = eng.search(NewTermQuery("content", "streamedzebra"), k=5,
+                      hydrate=True).collect()
+    assert len(hits) == 2
+    assert all(h["doc_id"] >= 150 for h in hits)  # fresh ids past old max
+
+    # exactly-once: re-running the stream with nothing new is a no-op
+    _drain(spark, dirs)
+    assert SearchEngine(spark, dirs["idx"]).count() == 180
+
+
+def test_io_seam(spark, tmp_path):
+    """Format selection: paths -> parquet; identifiers -> catalog tables;
+    Iceberg runtime detection is honest about this sandbox."""
+    from quicker_spark.fixtures import corpus_pdf
+    from quicker_spark.io import iceberg_available, is_path, read_corpus, write_corpus
+
+    assert iceberg_available(spark) is False  # no Iceberg jar shipped here
+    assert is_path("/data/corpus") and is_path("s3://b/c")
+    assert not is_path("cat.db.tbl")
+    p = str(tmp_path / "corpus_pq")
+    df = spark.createDataFrame(corpus_pdf(20))
+    write_corpus(df, p)
+    assert read_corpus(spark, p).count() == 20
