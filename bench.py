@@ -92,6 +92,14 @@ def main() -> None:
 
     timings["bm25_wand_3q"] = median_time(wand_all)
     timings["bm25_taat_3q"] = median_time(taat_all)
+    # per-query latency p50 (the BASELINE.md headline query metric)
+    lat = []
+    for ts in terms * 2:
+        t1 = time.time()
+        eng.search(Or(*[NewTermQuery("content", t) for t in ts]),
+                   k=10, mode="wand").collect()
+        lat.append(time.time() - t1)
+    timings["bm25_wand_p50"] = statistics.median(lat)
     timings["bool_and"] = median_time(
         lambda: eng.search_bool(And(NewTermQuery("content", "table"),
                                     NewTermQuery("content", "merge"))).count())

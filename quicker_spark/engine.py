@@ -128,6 +128,17 @@ class SearchEngine:
         """Indexed doc count (reference: Indexer.Count, indexer.go:60-67)."""
         return self.docs.count()
 
+    def lookup(self, doc_ids: list[int]) -> DataFrame:
+        """Forward-index batch get, order-insensitive, missing ids absent
+        (reference: kvdb BatchGet, internal/kvdb/kv_db.go:27). The docs
+        table is sorted by doc_id, so the IN-filter prunes parquet row
+        groups instead of scanning."""
+        return self.docs.filter(F.col("doc_id").isin([int(i) for i in doc_ids]))
+
+    def has(self, doc_id: int) -> bool:
+        """Existence probe (reference: kvdb Has, kv_db.go:32)."""
+        return bool(self.lookup([doc_id]).limit(1).take(1))
+
     # -- helpers ------------------------------------------------------------
     def _idf(self, terms: set[str]) -> dict[str, float]:
         rows = (

@@ -155,3 +155,11 @@ def test_postings_are_sorted_and_compressed(spark, index_dir):
     assert (np.diff(ids) > 0).all()          # strictly ascending doc_ids
     assert enc.df == len(ids)
     assert len(enc.ids) < 8 * len(ids)       # compressed vs raw int64
+
+
+def test_lookup_and_has(engine):
+    """Forward-index point ops (reference: kvdb BatchGet/Has)."""
+    eng = engine
+    got = eng.lookup([0, 1, 10_000_000]).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1]
+    assert eng.has(0) and not eng.has(10_000_000)
