@@ -140,14 +140,6 @@ class SearchEngine:
         return bool(self.lookup([doc_id]).limit(1).take(1))
 
     # -- helpers ------------------------------------------------------------
-    def _idf(self, terms: set[str]) -> dict[str, float]:
-        rows = (
-            self.term_stats.filter(F.col("term").isin(list(terms)))
-            .collect()
-        )
-        n = self.stats["n_docs"]
-        return {r["term"]: bm25_idf(n, int(r["df_global"])) for r in rows}
-
     def _postings_for(self, terms: set[str]) -> DataFrame:
         # isin pushes down to parquet row groups (postings sorted by term)
         return self.postings.filter(F.col("term").isin(list(terms)))
