@@ -55,7 +55,11 @@ from quicker_spark.operators.docs import prepare_docs
 @dataclass
 class IndexConfig:
     seg_docs: int = 100_000          # docs per segment (doc_id range)
-    n_salts: int = 16                # intra-segment salt fan-out for hot terms
+    # intra-segment salt fan-out for hot terms. None = auto: one salt per
+    # 500k docs of segment span — a hot term's single-reducer list is
+    # ~30 B/entry, so salting (an extra full shuffle) only pays for its
+    # exchange once segment runs reach tens of MB.
+    n_salts: int | None = None
     block_size: int = DEFAULT_BLOCK  # postings per compressed block
     k1: float = K1
     b: float = B
@@ -68,6 +72,11 @@ class IndexConfig:
     # unique (term, tf) pairs — one less shuffle stage, ~40% fewer rows.
     # 'explode': pure-Catalyst explode + groupBy().count() (parity path).
     tf_mode: str = "arrow_pairs"
+
+    def effective_salts(self) -> int:
+        if self.n_salts is not None:
+            return max(1, int(self.n_salts))
+        return max(1, self.seg_docs // 500_000)
 
 
 POSTINGS_SCHEMA = T.StructType([
@@ -145,15 +154,26 @@ def wave_postings(docs_wave: DataFrame, cfg: IndexConfig, avgdl: float) -> DataF
     # arrays doubled the merge stage's GC time; the order of collect_list
     # is nondeterministic either way, so the sort must happen once at the
     # end regardless.)
-    partial = (
-        tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
-        .groupBy("segment_id", "term", "salt")
-        .agg(F.collect_list(
-            F.struct("doc_id", "tf", "dl", "bitsf")).alias("plist"))
-    )
-    merged = partial.groupBy("segment_id", "term").agg(
-        F.flatten(F.collect_list("plist")).alias("plist")
-    )
+    entry = F.struct("doc_id", "tf", "dl", "bitsf")
+    n_salts = cfg.effective_salts()
+    if n_salts > 1:
+        # salted two-phase merge: a hot term's segment run is built by
+        # n_salts reducers, each list bounded by seg_docs/n_salts
+        partial = (
+            tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
+            .groupBy("segment_id", "term", "salt")
+            .agg(F.collect_list(entry).alias("plist"))
+        )
+        merged = partial.groupBy("segment_id", "term").agg(
+            F.flatten(F.collect_list("plist")).alias("plist")
+        )
+    else:
+        # single-shuffle path: a segment bounds every run at seg_docs
+        # entries (~30B each), so one reducer per term is safe for
+        # moderate seg_docs — skip the salt exchange entirely
+        merged = tf.groupBy("segment_id", "term").agg(
+            F.collect_list(entry).alias("plist")
+        )
     cols = merged.select(
         "segment_id", "term",
         F.transform("plist", lambda x: x["doc_id"]).alias("a_ids"),
@@ -248,7 +268,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             "n_docs": int(agg["n"]), "total_len": int(agg["total"] or 0),
             "k1": cfg.k1, "b": cfg.b, "seg_docs": cfg.seg_docs,
             "block_size": cfg.block_size, "fields": list(cfg.fields),
-            "n_salts": cfg.n_salts, "wave_segments": cfg.wave_segments,
+            "n_salts": cfg.effective_salts(), "wave_segments": cfg.wave_segments,
         }
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
         with open(stats_path, "w") as fh:
