@@ -83,7 +83,7 @@ def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if key not in _ENGINES:
         out = os.path.join(
             tempfile.gettempdir(),
-            "quicker_idx_" + re.sub(r"\W+", "_", key).strip("_") + "_v1",
+            "quicker_idx_" + re.sub(r"\W+", "_", key).strip("_") + "_v2",
         )
         cfg = IndexConfig(fields=DRIVER_FIELDS, id_col="biz_id",
                           seg_docs=DRIVER_SEG_DOCS)
