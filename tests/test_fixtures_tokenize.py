@@ -72,3 +72,38 @@ def test_tokenizers_agree(spark):
     texts = df.limit(5).collect()
     for r, t in zip(rows, texts):
         assert r["a"] == tokenize_py(t["content"])
+
+
+def test_tf_modes_agree_on_edge_corpus(spark, tmp_path):
+    """arrow_pairs and pure-Catalyst explode tf modes build identical
+    postings, including empty / whitespace / unicode / null-ish content."""
+    import shutil
+
+    from quicker_spark.engine import SearchEngine
+    from quicker_spark.operators.build import IndexConfig, build_index
+
+    rows = [
+        ("r1", "a.py", "c1", "python", "def foo(): return 1"),
+        ("r2", "b.py", "c2", "go", ""),
+        ("r3", "c.py", "c3", "java", "   \t  "),
+        ("r4", "d.py", "c4", "js", "héllo wörld déf naïve"),
+        ("r5", "e.py", "c5", "rust", "DEF Def def dEf"),
+        ("r6", "f.py", "c6", "c", "x1_y2 x1_y2 x1_y2 z"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+    def postings_of(mode):
+        out = str(tmp_path / f"idx_{mode}")
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, corpus, out,
+                    IndexConfig(seg_docs=10, tf_mode=mode, n_salts=2),
+                    resume=False)
+        eng = SearchEngine(spark, out)
+        rows_ = eng.postings.select("segment_id", "term", "df", "ids", "tfs",
+                                    "dls", "bits").collect()
+        return sorted((r["segment_id"], r["term"], r["df"], bytes(r["ids"]),
+                       bytes(r["tfs"]), bytes(r["dls"]), bytes(r["bits"]))
+                      for r in rows_)
+
+    assert postings_of("arrow_pairs") == postings_of("explode")
