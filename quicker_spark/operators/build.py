@@ -316,6 +316,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     secs = time.time() - t0
     built_docs = sum(min(cfg.seg_docs, n_docs - s * cfg.seg_docs)
                      for w in waves for s in w)
+
+    def _dir_bytes(p: str) -> int:
+        total = 0
+        for dp, _dn, fns in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(dp, f)) for f in fns)
+        return total
+
+    postings_bytes = _dir_bytes(os.path.join(out_dir, "postings"))
+    docs_bytes = _dir_bytes(docs_path)
     report = BuildReport(
         n_docs=n_docs, n_segments=n_segments, waves_run=len(waves),
         waves_skipped=(len(done) + cfg.wave_segments - 1) // cfg.wave_segments,
@@ -330,5 +339,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                    "waves_run": len(waves), "wave_secs": wave_secs,
                    "prepare_secs": prepare_secs,
                    "term_stats_secs": term_stats_secs,
+                   "postings_bytes": postings_bytes,
+                   "docs_bytes": docs_bytes,
                    "n_segments": n_segments}, fh)
     return report
