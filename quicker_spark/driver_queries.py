@@ -78,12 +78,33 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENGINES: dict[str, SearchEngine] = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the corpus parquet files (sizes + mtimes),
+    folded into the index cache directory name so changed corpus content
+    under the same path can never serve a stale prebuilt index."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in ("documents.parquet", "embeddings.parquet"):
+        p = os.path.join(sf_dir, name)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.isdir(p):
+            for dp, _dn, fns in sorted(os.walk(p)):
+                for f in sorted(fns):
+                    st = os.stat(os.path.join(dp, f))
+                    h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     key = os.path.normpath(sf_dir)
     if key not in _ENGINES:
         out = os.path.join(
             tempfile.gettempdir(),
-            "quicker_idx_" + re.sub(r"\W+", "_", key).strip("_") + "_v2",
+            "quicker_idx_" + re.sub(r"\W+", "_", key).strip("_")
+            + "_" + _corpus_fingerprint(key),
         )
         cfg = IndexConfig(fields=DRIVER_FIELDS, id_col="biz_id",
                           seg_docs=DRIVER_SEG_DOCS)
@@ -398,12 +419,13 @@ ORACLE_SQL = {
         f"WITH arr AS ({SQL_ARR}) "
         "SELECT doc_id, len(a)::bigint AS n_tokens, "
         "len(list_distinct(a))::bigint AS n_uniq, "
-        "round(len(list_distinct(a))::double / len(a)::double * 10000.0)::bigint AS ttr_x4 "
+        "round(len(list_distinct(a))::double / nullif(len(a), 0)::double"
+        " * 10000.0)::bigint AS ttr_x4 "
         "FROM arr"
     ),
     "quality": (
         f"WITH arr AS ({SQL_ARR}), "
-        "m AS (SELECT doc_id, len(a)::double AS n, "
+        "m AS (SELECT doc_id, nullif(len(a), 0)::double AS n, "
         "  len(list_filter(a, t -> t IN ('a','the')))::double AS stop_cnt, "
         "  list_sum(list_transform(a, t -> length(t)))::double AS sum_len "
         "FROM arr) "

@@ -237,11 +237,14 @@ def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
 
 def filter_by_bits_vec(bits: np.ndarray, on: int = 0, off: int = 0,
                        or_flags=()) -> np.ndarray:
-    """Vectorized reference bit predicate (skiplist_reverse_index.go:158-171)."""
+    """Vectorized reference bit predicate (skiplist_reverse_index.go:158-171).
+    Zero-valued orFlags are skipped, matching the reference's ``orFlag > 0``
+    guard — passing 0 must be a no-op, not an always-false filter."""
     m = (bits & on) == on
     m &= (bits & off) == 0
     for f in or_flags:
-        m &= (bits & f) != 0
+        if f > 0:
+            m &= (bits & f) != 0
     return m
 
 
@@ -403,7 +406,7 @@ class _WandCursor:
         ok = (bitv & on) == on and (bitv & off) == 0
         if ok:
             for f in or_flags:
-                if bitv & f == 0:
+                if f > 0 and bitv & f == 0:
                     ok = False
                     break
         if not ok:

@@ -90,9 +90,14 @@ def make_term_tf_udf(fields: tuple[str, ...]):
         for fname, col in zip(fields, cols):
             filled = col.fillna("")
             if fname == "lang":
-                all_docs.append(np.arange(n, dtype=np.int64))
-                all_terms.append(("lang\x01" + filled).to_numpy(dtype=object))
-                all_tfs.append(np.ones(n, dtype=np.int64))
+                # empty/NULL lang emits no term (parity with _terms_col)
+                mask = (filled != "").to_numpy()
+                if mask.any():
+                    idxs = np.nonzero(mask)[0].astype(np.int64)
+                    all_docs.append(idxs)
+                    all_terms.append(
+                        ("lang\x01" + filled[mask]).to_numpy(dtype=object))
+                    all_tfs.append(np.ones(len(idxs), dtype=np.int64))
                 continue
             found = filled.str.lower().str.findall(TOKEN_RE)
             lens = found.str.len().to_numpy(dtype=np.int64)

@@ -39,14 +39,16 @@ def filter_by_bits(bits: int, on: int = 0, off: int = 0,
                    or_flags: Iterable[int] = ()) -> bool:
     """Exact predicate semantics of the reference
     (internal/reverse_index/skiplist_reverse_index.go:158-171):
-    ``bits&on == on AND bits&off == 0 AND for every f in or_flags: bits&f > 0``.
+    ``bits&on == on AND bits&off == 0 AND for every f in or_flags with
+    f > 0: bits&f > 0``. A zero-valued orFlag is a no-op, not a
+    reject-everything predicate (the reference guards ``orFlag > 0``).
     """
     if bits & on != on:
         return False
     if bits & off != 0:
         return False
     for f in or_flags:
-        if bits & f == 0:
+        if f > 0 and bits & f == 0:
             return False
     return True
 

@@ -113,15 +113,25 @@ def _encode_udf(avgdl: float, k1: float, b: float, block_size: int):
 
 
 def _terms_col(cfg: IndexConfig):
-    """array<string> of field-namespaced terms for one doc (single pass)."""
+    """array<string> of field-namespaced terms for one doc (single pass).
+
+    Every field is coalesced to '' so a NULL in one indexed column never
+    nulls the whole concat (silently dropping ALL the doc's terms), and an
+    empty/NULL lang emits no term — identical contract to the arrow_pairs
+    mode's fillna(''), so both build modes produce the same postings on
+    NULL-bearing corpora."""
     tok = tokenize_udf if cfg.use_arrow_tokenizer else tokenize_col
     parts = []
     for f_name in cfg.fields:
+        c = F.coalesce(F.col(f_name), F.lit(""))
         if f_name == "lang":
-            parts.append(F.array(F.concat(F.lit("lang\x01"), F.col("lang"))))
+            parts.append(
+                F.when(c == "", F.array().cast("array<string>"))
+                .otherwise(F.array(F.concat(F.lit("lang\x01"), c)))
+            )
         else:
             parts.append(
-                F.transform(tok(F.col(f_name)),
+                F.transform(tok(c),
                             lambda t: F.concat(F.lit(f_name + "\x01"), t))
             )
     return F.concat(*parts)

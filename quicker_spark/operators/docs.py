@@ -149,8 +149,11 @@ def prepare_docs(corpus: DataFrame, seg_docs: int,
                     F.lit("@"), F.col("commit")).alias("id"),
         "repo", "path", "commit", "lang",
         lang_bits_col("lang").alias("bits_feature"),
-        F.size(tokenize_col(F.col("content"))).cast("long").alias("doc_len"),
-        F.sha2(F.col("content"), 256).alias("doc_sha"),
+        # NULL content == empty content (doc_len 0, sha of ""), never a
+        # NULL doc_len leaking into the posting encoder's dl stream
+        F.size(tokenize_col(F.coalesce(F.col("content"), F.lit(""))))
+        .cast("long").alias("doc_len"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("doc_sha"),
         (F.col("doc_id") / F.lit(seg_docs)).cast("long").alias("segment_id"),
         "content",
     )

@@ -198,9 +198,12 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     toks = tokenize_col(F.col(text_col))
     n = F.size(toks).cast("long")
     nu = F.size(F.array_distinct(toks)).cast("long")
+    # Guard the division: Spark's non-ANSI x/0 yields NULL while IEEE
+    # engines yield NaN — an explicit NULL on zero tokens canonicalizes
+    # identically everywhere (oracle uses nullif).
     return df.select(
         F.col(id_col), n.alias("n_tokens"), nu.alias("n_uniq"),
-        (nu.cast("double") / n.cast("double")).alias("ttr"),
+        F.when(n > 0, nu.cast("double") / n.cast("double")).alias("ttr"),
     )
 
 
@@ -214,8 +217,9 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
     sum_len = F.aggregate(toks, F.lit(0).cast("long"),
                           lambda acc, t: acc + F.length(t)).cast("double")
-    stop_ratio = stop_cnt / n
-    avg_len = sum_len / n
+    # zero-token docs: explicit NULL (not engine-specific NULL-vs-NaN)
+    stop_ratio = F.when(n > 0, stop_cnt / n)
+    avg_len = F.when(n > 0, sum_len / n)
     return df.select(
         F.col(id_col),
         stop_ratio.alias("stop_ratio"),

@@ -47,8 +47,16 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.local.dir", os.environ.get("QS_LOCAL_DIR", "/dev/shm/spark-local"))
     )
+    # Prefer tmpfs shuffle dirs only where /dev/shm actually exists (it
+    # removes virtio-disk contention in this sandbox). Trade-off: on tmpfs
+    # shuffle spill competes with the JVM heap for physical RAM — at real
+    # cluster scale leave Spark's default local dirs on disk.
+    local_dir = os.environ.get("QS_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -89,6 +89,11 @@ def test_tf_modes_agree_on_edge_corpus(spark, tmp_path):
         ("r4", "d.py", "c4", "js", "héllo wörld déf naïve"),
         ("r5", "e.py", "c5", "rust", "DEF Def def dEf"),
         ("r6", "f.py", "c6", "c", "x1_y2 x1_y2 x1_y2 z"),
+        # NULL-bearing rows: a NULL in one indexed field must not drop the
+        # doc's other terms, and a NULL/empty lang must emit no lang term
+        ("r7", "g.py", "c7", None, "null lang still indexed"),
+        ("r8", "h.py", "c8", "", "empty lang still indexed"),
+        ("r9", "i.py", "c9", "python", None),
     ]
     corpus = spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, content string")
@@ -106,4 +111,11 @@ def test_tf_modes_agree_on_edge_corpus(spark, tmp_path):
                        bytes(r["tfs"]), bytes(r["dls"]), bytes(r["bits"]))
                       for r in rows_)
 
-    assert postings_of("arrow_pairs") == postings_of("explode")
+    p_arrow = postings_of("arrow_pairs")
+    terms = {t for (_s, t, *_rest) in p_arrow}
+    # NULL lang didn't kill the doc's content terms, and no empty lang term
+    assert "content\x01indexed" in terms
+    assert "lang\x01" not in terms
+    # NULL content doc still indexes its repo/path fields
+    assert "repo\x01r9" in terms
+    assert p_arrow == postings_of("explode")

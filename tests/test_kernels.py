@@ -150,10 +150,39 @@ def test_filter_by_bits_vec_matches_scalar():
 
     rng = np.random.RandomState(0)
     bits = rng.randint(0, 64, 500)
-    for on, off, orf in [(0, 0, ()), (3, 0, ()), (0, 5, ()), (1, 2, (8, 16))]:
+    for on, off, orf in [(0, 0, ()), (3, 0, ()), (0, 5, ()), (1, 2, (8, 16)),
+                         (0, 0, (0,)), (1, 0, (0, 8))]:
         vec = filter_by_bits_vec(bits, on, off, orf)
         ref = np.array([filter_by_bits(int(x), on, off, orf) for x in bits])
         np.testing.assert_array_equal(vec, ref)
+
+
+def test_zero_or_flag_is_noop():
+    """Reference semantics: an orFlag of 0 is SKIPPED, never a
+    reject-everything predicate (skiplist_reverse_index.go:165-169 guards
+    ``orFlag > 0``). All three predicate sites must agree: scalar, vector,
+    and the inline WAND check."""
+    from quicker_spark.model import filter_by_bits
+
+    bits = np.array([0, 1, 2, 3, 7], dtype=np.int64)
+    # (0,) must behave exactly like ()
+    np.testing.assert_array_equal(
+        filter_by_bits_vec(bits, 0, 0, (0,)), np.ones(5, dtype=bool))
+    np.testing.assert_array_equal(
+        filter_by_bits_vec(bits, 0, 0, (0, 1)),
+        filter_by_bits_vec(bits, 0, 0, (1,)))
+    assert filter_by_bits(5, 0, 0, (0,)) is True
+    assert filter_by_bits(5, 1, 0, (0, 4)) is True
+    assert filter_by_bits(5, 0, 0, (0, 2)) is False
+
+    # WAND path: or_flags=(0,) must score identically to or_flags=()
+    rng = np.random.RandomState(42)
+    postings, decoded, idf = _random_segment(rng)
+    base_ids, base_scores = score_segment_wand(postings, idf, 100.0, 10)
+    z_ids, z_scores = score_segment_wand(
+        postings, idf, 100.0, 10, or_flags=(0,))
+    np.testing.assert_array_equal(z_ids, base_ids)
+    np.testing.assert_allclose(z_scores, base_scores, atol=0)
 
 
 def test_encode_batch_matches_row_encoder():
