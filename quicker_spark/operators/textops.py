@@ -137,21 +137,29 @@ def jaccard_window_pairs(df: DataFrame, id_col: str = "doc_id",
     """(a, b, jac): exact n-gram Jaccard for id-windowed pairs
     (0 < b - a <= max_gap).
 
-    The bounded id-gap join is a band join — at scale, range-partition by
-    id and it's a co-partitioned local join.
+    The bounded-gap condition is materialized as an EQUI-join: the left
+    side explodes a gap column g in 1..max_gap and joins on
+    ``b.id == a.id + g``. A raw range predicate has no equi-key, so Spark
+    plans it as BroadcastNestedLoopJoin — O(n^2) at scale; the exploded
+    form hash-partitions both sides on the id and costs max_gap * n rows,
+    a sort-merge/shuffled-hash plan that scales linearly
+    (asserted in tests/test_plans.py).
     """
     arr = df.select(
         F.col(id_col),
         F.array_distinct(shingles_col(F.col(text_col), shingle)).alias("sh"),
     )
-    a, b = arr.alias("a"), arr.alias("b")
-    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    na = F.size(F.col("a.sh")).cast("double")
-    nb = F.size(F.col("b.sh")).cast("double")
+    left = arr.select(
+        F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_gap)))).alias("g"),
+    ).select("a", "sh_a", (F.col("a") + F.col("g")).alias("bid"))
+    right = arr.select(F.col(id_col).alias("bid"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    na = F.size(F.col("sh_a")).cast("double")
+    nb = F.size(F.col("sh_b")).cast("double")
     return (
-        a.join(b, (ib > ia) & (ib <= ia + max_gap))
-        .select(ia.alias("a"), ib.alias("b"),
+        left.join(right, "bid")
+        .select(F.col("a"), F.col("bid").alias("b"),
                 (inter / (na + nb - inter)).alias("jac"))
     )
 
@@ -163,22 +171,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """(id, simhash): ``bits``-wide SimHash over the doc's distinct terms.
 
     Bit j is set when sum over terms of (2*((h(term)>>j)&1) - 1) > 0.
-    Runs as explode(term) x explode(bit) -> two-phase groupBy sum — all
-    Catalyst integer ops.
+    ONE groupBy(doc) pass with ``bits`` conditional sums — the bit fan-out
+    happens inside the aggregation expressions, not as exploded rows, so
+    the shuffle carries one row per (doc, term) instead of ``bits``x that
+    (same result, shuffle rows / 16 at bits=16).
     """
     terms = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("t")
     ).withColumn("h", md5_long(F.col("t")))
-    bitrows = terms.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    )
-    contrib = F.expr("2 * ((h >> j) & 1) - 1")
-    bitsum = bitrows.groupBy(id_col, "j").agg(F.sum(contrib).alias("v"))
-    hashed = (
-        bitsum.filter(F.col("v") > 0)
-        .groupBy(id_col)
-        .agg(F.sum(F.expr("cast(1 as bigint) << j")).alias("simhash"))
-    )
+    bitsums = terms.groupBy(id_col).agg(*[
+        F.sum(F.expr(f"2 * ((h >> {j}) & 1) - 1")).alias(f"v_{j}")
+        for j in range(bits)
+    ])
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"v_{j}") > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    hashed = bitsums.select(F.col(id_col), sim.alias("simhash"))
     return (
         df.select(id_col)
         .join(hashed, id_col, "left")

@@ -69,3 +69,35 @@ def test_docs_scan_prunes_for_count(eng):
     plan = _formatted(eng.docs.select("doc_id"))
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "content" not in read_schema[0]
+
+
+def test_jaccard_window_is_equi_join(spark):
+    """The windowed-Jaccard gap join must plan as an equi-join (sort-merge
+    or hash), never BroadcastNestedLoopJoin/Cartesian — the raw range
+    predicate form is an O(n^2) scale-killer."""
+    from quicker_spark.operators.textops import jaccard_window_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} epsilon zeta eta") for i in range(30)],
+        "doc_id long, text string")
+    plan = _plan(jaccard_window_pairs(df, max_gap=2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_lsh_candidates_is_equi_join(spark):
+    """LSH band candidate generation must also stay an equi-join."""
+    from quicker_spark.operators.textops import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"one two three four five doc{i % 5} six seven") for i in range(20)],
+        "doc_id long, text string")
+    sigs = minhash_signatures(df, k=8)
+    plan = _plan(lsh_candidate_pairs(sigs, k=8, bands=4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
