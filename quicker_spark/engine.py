@@ -37,12 +37,17 @@ from quicker_spark.plans.term_query import TermQuery
 
 
 def _row_to_encoded(row: pd.Series, block_size: int) -> EncodedPostings:
+    """Stored row -> EncodedPostings. WAND callers must additionally call
+    ``.with_bounds(avgdl)`` — the block-max bound is derived from the
+    CURRENT avgdl at query time, never stored (keeps segments immutable
+    under maintenance)."""
     return EncodedPostings(
         df=int(row["df"]),
         ids=bytes(row["ids"]), tfs=bytes(row["tfs"]),
         dls=bytes(row["dls"]), bits=bytes(row["bits"]),
         block_last=np.asarray(row["block_last"], dtype=np.int64),
-        block_max_u=np.asarray(row["block_max_u"], dtype=np.float64),
+        block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
+        block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int64),
         off_ids=np.asarray(row["off_ids"], dtype=np.int64),
         off_tfs=np.asarray(row["off_tfs"], dtype=np.int64),
         off_dls=np.asarray(row["off_dls"], dtype=np.int64),
@@ -76,6 +81,7 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
         }
         if use_wand:
             postings = {r["term"]: _row_to_encoded(r, block_size)
+                        .with_bounds(avgdl, k1, b)
                         for _, r in pdf.iterrows()}
             ids, scores = score_segment_wand(
                 postings, idf, avgdl, k, on, off, or_flags, k1, b)

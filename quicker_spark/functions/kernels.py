@@ -15,8 +15,16 @@ doc_lens, bits) is varbyte-encoded per block; doc_ids are delta-encoded
 with the delta chain RESTARTING at each block (first id of a block is
 absolute) so any block decodes independently — that's what lets block-max
 WAND skip blocks without touching their bytes. Per-block metadata: last
-doc_id (skip pointer) + max BM25 tf/length-component (the WAND bound) +
-byte offsets into each stream.
+doc_id (skip pointer) + max tf + min doc_len + byte offsets into each
+stream.
+
+The WAND bound is NOT stored — only the immutable per-block ``max_tf``
+and ``min_dl`` are. ``bm25_u`` is monotone in tf and anti-monotone in dl,
+so ``u(max_tf, min_dl, avgdl)`` computed at query time from the CURRENT
+corpus avgdl dominates every posting in the block. That makes posting
+bytes avgdl-independent: a delete/upsert that shifts avgdl never rewrites
+untouched segments (the stored-bound design forced a full-index metadata
+rewrite per maintenance batch).
 """
 
 from __future__ import annotations
@@ -53,13 +61,31 @@ class EncodedPostings:
     tfs: bytes
     dls: bytes
     bits: bytes
-    block_last: np.ndarray   # int64[n_blocks]
-    block_max_u: np.ndarray  # float64[n_blocks], admissible upper bound
-    off_ids: np.ndarray      # int32[n_blocks+1] byte offsets (end sentinel)
+    block_last: np.ndarray    # int64[n_blocks]
+    block_max_tf: np.ndarray  # int64[n_blocks], immutable bound input
+    block_min_dl: np.ndarray  # int64[n_blocks], immutable bound input
+    off_ids: np.ndarray       # int32[n_blocks+1] byte offsets (end sentinel)
     off_tfs: np.ndarray
     off_dls: np.ndarray
     off_bits: np.ndarray
     block_size: int = DEFAULT_BLOCK
+    # derived at query time by with_bounds() — never persisted
+    block_max_u: np.ndarray | None = None
+
+    def with_bounds(self, avgdl: float, k1: float = K1, b: float = B):
+        """Derive the admissible per-block WAND upper bound from the
+        CURRENT avgdl. Since u is monotone in tf and anti-monotone in dl,
+        ``u(max_tf, min_dl)`` dominates every posting of the block in real
+        arithmetic; the (1 + 1e-12) bump absorbs the <=2-ulp float
+        rounding gap between this evaluation and score_at's, keeping the
+        bound admissible (a hair loose only ever prunes less)."""
+        if self.df:
+            u = bm25_u(self.block_max_tf.astype(np.float64),
+                       self.block_min_dl.astype(np.float64), avgdl, k1, b)
+            self.block_max_u = u * (1.0 + 1e-12)
+        else:
+            self.block_max_u = np.zeros(0, dtype=np.float64)
+        return self
 
     @property
     def n_blocks(self) -> int:
@@ -102,8 +128,8 @@ class EncodedPostings:
 
 
 def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    bits: np.ndarray, avgdl: float, k1: float = K1,
-                    b: float = B, block_size: int = DEFAULT_BLOCK) -> EncodedPostings:
+                    bits: np.ndarray,
+                    block_size: int = DEFAULT_BLOCK) -> EncodedPostings:
     """Encode one (segment, term) run. ``ids`` must be strictly ascending.
 
     Fully vectorized: each of the four streams is ONE varbyte pass over
@@ -111,6 +137,10 @@ def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     ~640 tiny encode calls and dominated the build). Block offsets come
     from the per-value byte counts; the id delta chain restarts at block
     starts by patching those positions back to absolute values.
+
+    Takes no BM25 parameters: the stored block metadata (max_tf, min_dl)
+    is score-model-independent, so the encoded bytes never change when
+    corpus statistics move.
     """
     n = len(ids)
     if n == 0:
@@ -118,12 +148,12 @@ def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         return EncodedPostings(
             df=0, ids=b"", tfs=b"", dls=b"", bits=b"",
             block_last=np.zeros(0, dtype=np.int64),
-            block_max_u=np.zeros(0, dtype=np.float64),
+            block_max_tf=np.zeros(0, dtype=np.int64),
+            block_min_dl=np.zeros(0, dtype=np.int64),
             off_ids=z, off_tfs=z, off_dls=z, off_bits=z,
             block_size=block_size,
         )
     ids = np.ascontiguousarray(ids, dtype=np.int64)
-    u = bm25_u(np.asarray(tfs), np.asarray(dls), avgdl, k1, b)
     starts = np.arange(0, n, block_size)
     n_blocks = len(starts)
     ends = np.append(starts[1:], n)
@@ -144,18 +174,18 @@ def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     bit_buf, off_bits = stream(bits)
 
     block_last = ids[ends - 1]
-    # nextafter-up keeps the bound admissible under any float reordering
-    block_max_u = np.nextafter(np.maximum.reduceat(u, starts), np.inf)
+    block_max_tf = np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), starts)
+    block_min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), starts)
     return EncodedPostings(
         df=n, ids=id_buf, tfs=tf_buf, dls=dl_buf, bits=bit_buf,
-        block_last=block_last, block_max_u=block_max_u,
+        block_last=block_last, block_max_tf=block_max_tf,
+        block_min_dl=block_min_dl,
         off_ids=off_ids, off_tfs=off_tfs, off_dls=off_dls, off_bits=off_bits,
         block_size=block_size,
     )
 
 
 def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
-                          avgdl: float, k1: float = K1, b: float = B,
                           block_size: int = DEFAULT_BLOCK) -> list[tuple]:
     """Encode a whole Arrow batch of posting runs with O(1) numpy passes.
 
@@ -194,7 +224,6 @@ def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
     prev[1:] = ids[:-1]
     deltas = np.where(is_start, ids, ids - prev).astype(np.uint64)
 
-    u = bm25_u(tfs, dls, avgdl, k1, b)
     bstart_idx = np.nonzero(is_start)[0]
     # block index ranges per row
     n_blocks_row = ((lens + block_size - 1) // block_size).astype(np.int64)
@@ -207,7 +236,8 @@ def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
     # rows' last blocks end at the row end, not the next row's first block
     bend_idx[brow_starts[1:] - 1] = row_starts[1:]
     block_last_all = ids[bend_idx - 1]
-    block_max_all = np.nextafter(np.maximum.reduceat(u, bstart_idx), np.inf)
+    block_max_tf_all = np.maximum.reduceat(tfs, bstart_idx)
+    block_min_dl_all = np.minimum.reduceat(dls, bstart_idx)
 
     streams = []
     for vals in (deltas, tfs.astype(np.uint64), dls.astype(np.uint64),
@@ -226,7 +256,8 @@ def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
         for buf, cum in streams:
             row.append(buf[cum[s]:cum[e]])
         row.append(block_last_all[bs:be].tolist())
-        row.append(block_max_all[bs:be].tolist())
+        row.append(block_max_tf_all[bs:be].tolist())
+        row.append(block_min_dl_all[bs:be].tolist())
         for _, cum in streams:
             row.append((cum[blk_bounds] - cum[s]).astype(np.int32).tolist())
         out.append(tuple(row))
@@ -342,6 +373,10 @@ class _WandCursor:
     __slots__ = ("enc", "idf", "blk", "pos", "ids", "vals", "exhausted", "ub")
 
     def __init__(self, enc: EncodedPostings, idf: float):
+        if enc.df and enc.block_max_u is None:
+            raise ValueError(
+                "EncodedPostings.with_bounds(avgdl) must be called before "
+                "WAND scoring (bounds are derived at query time)")
         self.enc = enc
         self.idf = idf
         self.blk = 0

@@ -52,6 +52,12 @@ from quicker_spark.model import B, K1
 from quicker_spark.operators.docs import prepare_docs
 
 
+# On-disk layout version. Bumped whenever the postings schema or docs
+# partitioning changes; a resume against an older-format checkpoint
+# rebuilds from scratch instead of mixing layouts.
+INDEX_FORMAT = 2
+
+
 @dataclass
 class IndexConfig:
     seg_docs: int = 100_000          # docs per segment (doc_id range)
@@ -86,7 +92,11 @@ POSTINGS_SCHEMA = T.StructType([
     T.StructField("dls", T.BinaryType()),
     T.StructField("bits", T.BinaryType()),
     T.StructField("block_last", T.ArrayType(T.LongType())),
-    T.StructField("block_max_u", T.ArrayType(T.DoubleType())),
+    # immutable WAND bound inputs: the BM25 bound u(max_tf, min_dl, avgdl)
+    # is derived at QUERY time from the current avgdl, so posting segments
+    # never need a metadata rewrite when corpus stats shift (delete/upsert)
+    T.StructField("block_max_tf", T.ArrayType(T.LongType())),
+    T.StructField("block_min_dl", T.ArrayType(T.LongType())),
     T.StructField("off_ids", T.ArrayType(T.IntegerType())),
     T.StructField("off_tfs", T.ArrayType(T.IntegerType())),
     T.StructField("off_dls", T.ArrayType(T.IntegerType())),
@@ -94,7 +104,7 @@ POSTINGS_SCHEMA = T.StructType([
 ])
 
 
-def _encode_udf(avgdl: float, k1: float, b: float, block_size: int):
+def _encode_udf(block_size: int):
     """Arrow UDF: aligned primitive arrays -> block-compressed layout.
 
     Whole-batch vectorized (encode_postings_batch): one varbyte pass per
@@ -106,7 +116,7 @@ def _encode_udf(avgdl: float, k1: float, b: float, block_size: int):
             bits: pd.Series) -> pd.DataFrame:
         rows = encode_postings_batch(
             doc_ids.to_numpy(), tfs.to_numpy(), dls.to_numpy(),
-            bits.to_numpy(), avgdl, k1, b, block_size)
+            bits.to_numpy(), block_size)
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
     return enc
@@ -137,7 +147,7 @@ def _terms_col(cfg: IndexConfig):
     return F.concat(*parts)
 
 
-def wave_postings(docs_wave: DataFrame, cfg: IndexConfig, avgdl: float) -> DataFrame:
+def wave_postings(docs_wave: DataFrame, cfg: IndexConfig) -> DataFrame:
     """The posting build for one wave of segments."""
     if cfg.tf_mode == "arrow_pairs":
         udf = make_term_tf_udf(cfg.fields)
@@ -191,7 +201,7 @@ def wave_postings(docs_wave: DataFrame, cfg: IndexConfig, avgdl: float) -> DataF
         F.transform("plist", lambda x: x["dl"]).alias("a_dls"),
         F.transform("plist", lambda x: x["bitsf"]).alias("a_bits"),
     )
-    enc = _encode_udf(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    enc = _encode_udf(cfg.block_size)
     return cols.select(
         "segment_id", "term",
         enc("a_ids", "a_tfs", "a_dls", "a_bits").alias("e"),
@@ -203,7 +213,7 @@ def _success(path: str) -> bool:
 
 
 def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
-               cfg: IndexConfig, avgdl: float, out_dir: str,
+               cfg: IndexConfig, out_dir: str,
                wkey: int | None = None) -> float:
     """Build + checkpoint one wave of segments; returns elapsed seconds.
 
@@ -218,7 +228,7 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         & F.col("segment_id").isin([int(s) for s in wave])
     )
-    post = wave_postings(docs_wave, cfg, avgdl)
+    post = wave_postings(docs_wave, cfg)
     (post.sortWithinPartitions("term")
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, "postings", f"wave={wkey}")))
@@ -264,13 +274,27 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     docs_path = os.path.join(out_dir, "docs")
     stats_path = os.path.join(out_dir, "stats.json")
 
+    # stale-format checkpoint: wipe and rebuild rather than mixing layouts
+    if resume and os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            if json.load(fh).get("format") != INDEX_FORMAT:
+                import shutil
+                shutil.rmtree(out_dir, ignore_errors=True)
+
     # -- phase 1: forward index + global stats (skipped when checkpointed)
     t_prep = time.time()
     if not (resume and _success(docs_path) and os.path.exists(stats_path)):
         docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts,
                             id_col=cfg.id_col)
+        # partitioned by segment: maintenance (delete/upsert) rewrites only
+        # the affected segment directories (dynamic partition overwrite),
+        # and the per-wave doc_id range filter prunes directories at build.
+        # doc ranges are contiguous per task, so each task emits few dirs.
+        # At 10^12 docs size seg_docs so the dir count stays sane (or swap
+        # the seam to Iceberg, where MERGE replaces dir-level overwrite).
         (docs.sortWithinPartitions("doc_id")
-             .write.mode("overwrite").parquet(docs_path))
+             .write.partitionBy("segment_id")
+             .mode("overwrite").parquet(docs_path))
         agg = spark.read.parquet(docs_path).agg(
             F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total")
         ).collect()[0]
@@ -279,6 +303,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             "k1": cfg.k1, "b": cfg.b, "seg_docs": cfg.seg_docs,
             "block_size": cfg.block_size, "fields": list(cfg.fields),
             "n_salts": cfg.effective_salts(), "wave_segments": cfg.wave_segments,
+            "id_col": cfg.id_col, "tf_mode": cfg.tf_mode,
+            "format": INDEX_FORMAT,
         }
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
         with open(stats_path, "w") as fh:
@@ -286,7 +312,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     prepare_secs = time.time() - t_prep
     with open(stats_path) as fh:
         stats = json.load(fh)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_docs = stats["n_docs"]
     n_segments = (n_docs + cfg.seg_docs - 1) // cfg.seg_docs
 
     # -- phase 2: posting waves with manifest-based resume
@@ -310,7 +336,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     wave_secs: list[float] = []
     for wave in waves:
-        wave_secs.append(write_wave(spark, docs_df, wave, cfg, avgdl, out_dir))
+        wave_secs.append(write_wave(spark, docs_df, wave, cfg, out_dir))
 
     # -- phase 3: global term stats (once everything is manifested)
     t_ts = time.time()

@@ -4,21 +4,31 @@ The reference mutates in place — DeleteDoc removes the doc from every
 term's skiplist and the KV store (reference: index_service/indexer.go:
 100-124, skiplist_reverse_index.go:62-74), and AddDoc is delete-then-
 insert with a fresh, larger DocId (indexer.go:76-82). This engine's
-segments are immutable parquet, so maintenance is wave-granular rebuild
-(SURVEY.md §7 hard part (e): segment generations + latest-wins):
+segments are immutable parquet, so maintenance is partition-granular:
 
-- delete: rewrite the docs table without the victims, rebuild only the
-  waves whose segments lost docs (manifest tells which), refresh the
-  WAND block-max bounds everywhere else (avgdl changed), re-derive term
-  stats. Untouched waves' posting bytes are never rewritten.
-- upsert: delete the replaced business keys, append the new docs with
-  fresh ids past the current max (the reference's fresh-DocId contract),
-  and build the new waves; the boundary segment (old max id's segment)
-  is rebuilt so old and new docs merge.
+- delete: dynamic-partition-overwrite ONLY the docs segment directories
+  that lost docs, rebuild only the posting waves covering those segments
+  (manifest tells which), re-derive corpus stats. Untouched waves and
+  untouched docs partitions are never rewritten — the WAND block bounds
+  are derived from the CURRENT avgdl at query time (kernels.py
+  with_bounds), so an avgdl shift costs zero I/O.
+- upsert: remove the replaced business keys from their segments, append
+  the new docs with fresh ids past the current max (the reference's
+  fresh-DocId contract), and build the waves covering replaced + new
+  segments. The boundary segment (old max id's partial segment) is
+  included so old and new docs merge.
 
-At 10^12-doc scale the docs-table swap becomes an Iceberg
-MERGE/overwrite-partitions commit; the wave rebuild and block-max
-refresh are already partition-local jobs.
+Nothing data-sized ever reaches the driver: the only collects are the
+distinct affected-segment set and per-segment row counts (one row per
+affected segment). At warehouse scale the dynamic partition overwrite
+becomes an Iceberg MERGE/overwrite-partitions commit through the same
+code seam; the wave rebuild is already a partition-local job.
+
+Crash safety: a commit marker (`maintain_pending.json`) records segment
+directories scheduled for removal before any is deleted; every
+maintenance entry point first completes a half-done removal. The posting
+wave + manifest writes are idempotent overwrites, so re-running the same
+maintenance call after a crash converges.
 """
 
 from __future__ import annotations
@@ -27,17 +37,15 @@ import json
 import os
 import shutil
 from collections import defaultdict
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterable
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quicker_spark.functions.codec import varbyte_decode
-from quicker_spark.functions.kernels import bm25_u
 from quicker_spark.operators.build import IndexConfig, write_wave
 from quicker_spark.operators.docs import DOC_KEY_COLS, prepare_docs
+
+_PENDING = "maintain_pending.json"
 
 
 def _load_stats(index_dir: str) -> dict:
@@ -53,17 +61,36 @@ def _cfg_from_stats(stats: dict) -> IndexConfig:
         k1=float(stats["k1"]), b=float(stats["b"]),
         wave_segments=int(stats.get("wave_segments", 64)),
         fields=tuple(stats["fields"]),
+        id_col=stats.get("id_col"),
+        tf_mode=stats.get("tf_mode", "arrow_pairs"),
     )
 
 
-def _swap_dir(tmp: str, final: str) -> None:
-    """Replace ``final`` with ``tmp`` (local FS; an Iceberg commit at scale)."""
-    bak = final + ".old"
-    shutil.rmtree(bak, ignore_errors=True)
-    if os.path.exists(final):
-        os.rename(final, bak)
-    os.rename(tmp, final)
-    shutil.rmtree(bak, ignore_errors=True)
+def _recover(index_dir: str) -> None:
+    """Finish a half-done maintenance commit: remove any segment dirs the
+    crashed run had scheduled for deletion (idempotent)."""
+    marker = os.path.join(index_dir, _PENDING)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as fh:
+        pending = json.load(fh)
+    for rel in pending.get("remove_dirs", []):
+        shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
+    os.remove(marker)
+
+
+def _remove_seg_dirs(index_dir: str, segs: Iterable[int]) -> None:
+    """Crash-safe removal of now-empty docs segment directories."""
+    rels = [os.path.join("docs", f"segment_id={int(s)}") for s in segs]
+    rels = [r for r in rels if os.path.isdir(os.path.join(index_dir, r))]
+    if not rels:
+        return
+    marker = os.path.join(index_dir, _PENDING)
+    with open(marker, "w") as fh:
+        json.dump({"remove_dirs": rels}, fh)
+    for rel in rels:
+        shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
+    os.remove(marker)
 
 
 def _recompute_stats(spark: SparkSession, index_dir: str, stats: dict) -> dict:
@@ -90,52 +117,40 @@ def _wave_map(spark: SparkSession, index_dir: str) -> dict[int, list[int]]:
     return dict(m)
 
 
-def refresh_block_max(spark: SparkSession, index_dir: str, avgdl: float,
-                      waves: Iterable[int], stats: dict) -> None:
-    """Re-derive the WAND block-max bounds of untouched waves under a new
-    ``avgdl`` (a map-only pass: decode tf/dl streams, recompute max-u per
-    block; posting bytes unchanged)."""
-    k1, b, bs = float(stats["k1"]), float(stats["b"]), int(stats["block_size"])
-
-    def refresh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            for bm, tf_b, dl_b in zip(pdf["block_max_u"], pdf["tfs"], pdf["dls"]):
-                tfs = varbyte_decode(bytes(tf_b)).astype(np.int64)
-                dls = varbyte_decode(bytes(dl_b)).astype(np.int64)
-                u = bm25_u(tfs, dls, avgdl, k1, b)
-                starts = np.arange(0, len(tfs), bs)
-                outs.append(np.nextafter(
-                    np.maximum.reduceat(u, starts), np.inf).tolist()
-                    if len(tfs) else list(bm))
-            pdf = pdf.copy()
-            pdf["block_max_u"] = outs
-            yield pdf
-
-    for wkey in waves:
-        wdir = os.path.join(index_dir, "postings", f"wave={wkey}")
-        df = spark.read.parquet(wdir)
-        out = df.mapInPandas(refresh, df.schema)
-        tmp = wdir + ".tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        _swap_dir(tmp, wdir)
-
-
 def _refresh_term_stats(spark: SparkSession, index_dir: str) -> None:
+    # column-pruned scan of (term, df) + map-side combine; one row per
+    # (term, segment) enters the shuffle
     posts = spark.read.parquet(os.path.join(index_dir, "postings"))
     (posts.groupBy("term").agg(F.sum("df").alias("df_global"))
           .write.mode("overwrite")
           .parquet(os.path.join(index_dir, "term_stats")))
 
 
+def _overwrite_affected_docs(docs_kept: DataFrame, affected: set[int],
+                             index_dir: str) -> set[int]:
+    """Dynamic-partition-overwrite the affected docs segment dirs with
+    ``docs_kept`` (rows of affected segments only, already filtered).
+    Returns the segments that ended up EMPTY (dynamic overwrite writes no
+    partition for them, so their stale dirs must be removed)."""
+    counts = {int(r["segment_id"]): int(r["n"])
+              for r in docs_kept.groupBy("segment_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    (docs_kept.sortWithinPartitions("doc_id")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("segment_id")
+     .parquet(os.path.join(index_dir, "docs")))
+    return {s for s in affected if counts.get(s, 0) == 0}
+
+
 def _rebuild(spark: SparkSession, index_dir: str, stats: dict,
              affected_segments: set[int]) -> dict:
-    """Shared tail of delete/upsert: refresh stats, rebuild waves covering
-    ``affected_segments`` (plus new waves for unmanifested segments),
-    refresh block-max elsewhere, recompute term stats."""
+    """Shared tail of delete/upsert: refresh stats, rebuild the waves
+    covering ``affected_segments`` (plus new waves for unmanifested
+    segments), refresh term stats. Untouched waves are never read or
+    written."""
     cfg = _cfg_from_stats(stats)
     stats = _recompute_stats(spark, index_dir, stats)
-    avgdl = float(stats["avgdl"])
     wave_map = _wave_map(spark, index_dir)
     manifested = {s for segs in wave_map.values() for s in segs}
 
@@ -143,44 +158,50 @@ def _rebuild(spark: SparkSession, index_dir: str, stats: dict,
     rebuilt_waves: list[int] = []
     for wkey, segs in sorted(wave_map.items()):
         if affected_segments & set(segs):
-            write_wave(spark, docs_df, segs, cfg, avgdl, index_dir, wkey=wkey)
+            write_wave(spark, docs_df, segs, cfg, index_dir, wkey=wkey)
             rebuilt_waves.append(wkey)
     new_segs = sorted(s for s in affected_segments if s not in manifested)
     new_waves = [new_segs[i:i + cfg.wave_segments]
                  for i in range(0, len(new_segs), cfg.wave_segments)]
     for wave in new_waves:
-        write_wave(spark, docs_df, wave, cfg, avgdl, index_dir)
+        write_wave(spark, docs_df, wave, cfg, index_dir)
         rebuilt_waves.append(min(wave))
 
-    untouched = [w for w in wave_map if w not in rebuilt_waves]
-    refresh_block_max(spark, index_dir, avgdl, untouched, stats)
     _refresh_term_stats(spark, index_dir)
     return {"rebuilt_waves": sorted(rebuilt_waves),
-            "refreshed_waves": sorted(untouched),
             "n_docs": stats["n_docs"]}
+
+
+def _ids_dataframe(spark: SparkSession,
+                   doc_ids: Iterable[int] | DataFrame) -> DataFrame:
+    if isinstance(doc_ids, DataFrame):
+        return doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                              .alias("doc_id"))
+    return spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
 
 
 def delete_docs(spark: SparkSession, index_dir: str,
                 doc_ids: Iterable[int] | DataFrame) -> dict:
     """Delete documents by engine doc_id (reference: Indexer.DeleteDoc,
-    index_service/indexer.go:100-124; batch form of kvdb BatchDelete)."""
+    index_service/indexer.go:100-124; batch form of kvdb BatchDelete).
+
+    Touches only the segment partitions/waves containing victims; the
+    only driver-side data is the distinct affected-segment set.
+    """
+    _recover(index_dir)
     stats = _load_stats(index_dir)
     seg_docs = int(stats["seg_docs"])
-    if isinstance(doc_ids, DataFrame):
-        ids_df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
-                                .alias("doc_id"))
-    else:
-        ids_df = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long")
-    segs = {int(r[0]) // seg_docs
-            for r in ids_df.select("doc_id").distinct().collect()}
+    ids_df = _ids_dataframe(spark, doc_ids)
+    segs = {int(r[0]) for r in
+            ids_df.select((F.col("doc_id") / seg_docs).cast("long").alias("s"))
+            .distinct().collect()}
 
-    docs_path = os.path.join(index_dir, "docs")
-    docs = spark.read.parquet(docs_path)
-    kept = docs.join(F.broadcast(ids_df), "doc_id", "left_anti")
-    tmp = docs_path + ".tmp"
-    kept.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
-    _swap_dir(tmp, docs_path)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    affected_docs = docs.filter(
+        F.col("segment_id").isin([int(s) for s in segs]))
+    kept = affected_docs.join(F.broadcast(ids_df), "doc_id", "left_anti")
+    emptied = _overwrite_affected_docs(kept, segs, index_dir)
+    _remove_seg_dirs(index_dir, emptied)
     return _rebuild(spark, index_dir, stats, segs)
 
 
@@ -188,31 +209,38 @@ def upsert_docs(spark: SparkSession, index_dir: str, new_corpus: DataFrame,
                 key_cols=DOC_KEY_COLS) -> dict:
     """Delete-then-insert upsert (reference: Indexer.AddDoc,
     indexer.go:70-97 — replaced business keys get FRESH, larger doc ids).
+
+    One dynamic-partition-overwrite covers everything: replaced segments
+    are rewritten without their victims, the boundary segment keeps its
+    surviving rows, and new segments appear as fresh partitions.
     """
+    _recover(index_dir)
     stats = _load_stats(index_dir)
     seg_docs = int(stats["seg_docs"])
-    docs_path = os.path.join(index_dir, "docs")
-    docs = spark.read.parquet(docs_path)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
 
     keys = new_corpus.select(*key_cols).distinct()
     replaced = docs.join(F.broadcast(keys), list(key_cols), "left_semi")
-    replaced_ids = [int(r[0]) for r in replaced.select("doc_id").collect()]
+    n_replaced = replaced.count()
     start = (docs.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
 
-    new_docs = prepare_docs(new_corpus, seg_docs, start_id=int(start))
-    kept = docs.join(F.broadcast(replaced.select("doc_id")),
-                     "doc_id", "left_anti")
-    merged = kept.unionByName(new_docs.select(*kept.columns))
-    tmp = docs_path + ".tmp"
-    merged.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
-    _swap_dir(tmp, docs_path)
-
+    new_docs = prepare_docs(new_corpus, seg_docs,
+                            id_col=stats.get("id_col"),
+                            start_id=int(start)).cache()
     n_new = new_docs.count()
-    affected = {i // seg_docs for i in replaced_ids}
-    affected |= {(int(start) + i) // seg_docs for i in (0, max(n_new - 1, 0))}
-    affected |= set(range(int(start) // seg_docs,
-                          (int(start) + max(n_new - 1, 0)) // seg_docs + 1))
-    res = _rebuild(spark, index_dir, stats, affected)
+    # affected segments: replaced docs' + new docs' (tiny distinct aggs)
+    segs = {int(r[0]) for r in replaced.select("segment_id").distinct().collect()}
+    segs |= {int(r[0]) for r in new_docs.select("segment_id").distinct().collect()}
+
+    affected_docs = docs.filter(F.col("segment_id").isin([int(s) for s in segs]))
+    kept = affected_docs.join(F.broadcast(replaced.select("doc_id")),
+                              "doc_id", "left_anti")
+    merged = kept.unionByName(new_docs.select(*kept.columns))
+    emptied = _overwrite_affected_docs(merged, segs, index_dir)
+    _remove_seg_dirs(index_dir, emptied)
+    new_docs.unpersist()
+
+    res = _rebuild(spark, index_dir, stats, segs)
     res["n_inserted"] = n_new
-    res["n_replaced"] = len(replaced_ids)
+    res["n_replaced"] = n_replaced
     return res
