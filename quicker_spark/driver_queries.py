@@ -113,6 +113,68 @@ def get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[key]
 
 
+def _upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed upsert batch: replace UPSERT_IDS docs' content with
+    UPSERT_TEXT (same business keys, so the engine assigns fresh ids)."""
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("doc_id").isin([int(i) for i in UPSERT_IDS]))
+        .select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("0").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.lit(UPSERT_TEXT).alias("content"),
+            F.col("doc_id").alias("biz_id"),
+        )
+    )
+
+
+def _mut_engine(spark: SparkSession, sf_dir: str, kind: str) -> SearchEngine:
+    """A mutated COPY of the base index (delete or upsert applied), so the
+    shared cached engine stays pristine for the other queries. Exercises
+    the real maintenance path: partition-pruned docs rewrite + affected-
+    wave rebuild (reference lifecycle: indexer_test.go:187-282)."""
+    import shutil
+
+    from quicker_spark.operators.maintain import delete_docs, upsert_docs
+
+    key = (os.path.normpath(sf_dir), kind)
+    if key not in _ENGINES:
+        base = get_engine(spark, sf_dir)
+        out = base.index_dir + "_" + kind
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base.index_dir, out)
+        if kind == "del":
+            delete_docs(spark, out, [int(i) for i in DEL_IDS])
+        else:
+            upsert_docs(spark, out, _upsert_batch(spark, sf_dir))
+        _ENGINES[key] = SearchEngine(spark, out)
+    return _ENGINES[key]
+
+
+def _resume_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """An index built in TWO runs: a killed partial build (one wave) then
+    a resume that must complete it without redoing finished segments
+    (reference restart-reload: indexer.go:42-58; our north-rule resume)."""
+    import shutil
+
+    key = (os.path.normpath(sf_dir), "resume")
+    if key not in _ENGINES:
+        base = get_engine(spark, sf_dir)
+        out = base.index_dir + "_resume"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = IndexConfig(fields=DRIVER_FIELDS, id_col="biz_id",
+                          seg_docs=DRIVER_SEG_DOCS, wave_segments=2)
+        build_index(spark, corpus_df(spark, sf_dir), out, cfg,
+                    resume=True, max_waves=1)          # "killed" build
+        r2 = build_index(spark, corpus_df(spark, sf_dir), out, cfg,
+                         resume=True)                  # resume to complete
+        assert r2.waves_skipped >= 1 or r2.n_segments <= cfg.wave_segments
+        _ENGINES[key] = SearchEngine(spark, out)
+    return _ENGINES[key]
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB; `documents` / `embeddings` are views)
 # ---------------------------------------------------------------------------
@@ -140,21 +202,48 @@ def _sql_lang_bits() -> str:
 
 
 BM25_TERMS = ("query", "spark", "table")
-SQL_TERMS_IN = "('" + "','".join(BM25_TERMS) + "')"
+AND_TERMS = ("table", "merge")
 
-SQL_BM25_TOP10 = f"""
-WITH toks AS ({SQL_TOKS}),
+# mutation-lifecycle fixtures (ids valid at every sf: the smallest corpus
+# has 500 docs)
+DEL_IDS = (3, 77, 150, 201)
+UPSERT_IDS = (1, 3)
+UPSERT_TEXT = "zebra quark table query zebra spark"
+UPSERT_TERMS = ("zebra", "table")
+
+SQL_DOCS_BASE = "SELECT doc_id, text FROM documents"
+
+
+def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
+                  require_all=False, project=None) -> str:
+    """Exact BM25 top-k oracle over an arbitrary base corpus relation
+    (``base`` must yield (doc_id, text)). ``require_all`` restricts
+    candidates to docs containing EVERY term (the AND query contract);
+    ``project`` overrides the final SELECT (for hydration joins)."""
+    terms_in = "('" + "','".join(terms) + "')"
+    cand_cte = (
+        ", cand AS (SELECT doc_id FROM tf GROUP BY doc_id "
+        f"HAVING count(DISTINCT term) = {len(terms)})" if require_all else "")
+    cand_where = ("WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
+                  if require_all else "")
+    project = project or ("SELECT doc_id, round(score * 10000.0)::bigint "
+                          "AS score_x4 FROM scores "
+                          f"ORDER BY score DESC, doc_id LIMIT {k}")
+    return f"""
+WITH base AS ({base}),
+toks AS (SELECT doc_id, t.term FROM base,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)),
 dl AS (SELECT doc_id,
               len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::double AS dl
-       FROM documents),
+       FROM base),
 stats AS (SELECT count(*)::double AS n, sum(dl)::double / count(*)::double AS avgdl
           FROM dl),
 tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks
-       WHERE term IN {SQL_TERMS_IN} GROUP BY doc_id, term),
+       WHERE term IN {terms_in} GROUP BY doc_id, term),
 df AS (SELECT term, count(DISTINCT doc_id)::double AS dfv FROM toks
-       WHERE term IN {SQL_TERMS_IN} GROUP BY term),
+       WHERE term IN {terms_in} GROUP BY term),
 idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
-        FROM df, stats),
+        FROM df, stats){cand_cte},
 scores AS (
   SELECT tf.doc_id,
          sum(idf.idf * (tf.tf * (1.2 + 1.0)) /
@@ -163,10 +252,25 @@ scores AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   JOIN idf ON tf.term = idf.term
   CROSS JOIN stats
-  GROUP BY tf.doc_id)
-SELECT doc_id, round(score * 10000.0)::bigint AS score_x4
-FROM scores ORDER BY score DESC, doc_id LIMIT 10
+  {cand_where}GROUP BY tf.doc_id)
+{project}
 """
+
+
+SQL_BM25_TOP10 = sql_bm25_topk()
+
+SQL_DEL_IDS_IN = "(" + ", ".join(str(i) for i in DEL_IDS) + ")"
+SQL_UPS_IDS_IN = "(" + ", ".join(str(i) for i in UPSERT_IDS) + ")"
+# post-upsert corpus: replaced business keys get FRESH ids past the old
+# max (reference AddDoc contract) — here id_col passthrough makes the new
+# id = old id + (max + 1), which SQL reproduces exactly
+SQL_UPSERTED_BASE = (
+    f"SELECT doc_id, text FROM documents WHERE doc_id NOT IN {SQL_UPS_IDS_IN} "
+    "UNION ALL "
+    "SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), "
+    f"'{UPSERT_TEXT}' AS text FROM documents WHERE doc_id IN {SQL_UPS_IDS_IN}")
+
+SQL_ID_EXPR = "d.source || ':' || d.doc_id::varchar || '@0'"
 
 SQL_MINHASH_MINS = ", ".join(
     "min({h}) AS sig_{i}".format(h=_sql_h60("'{}:' || s".format(i)), i=i)
@@ -207,10 +311,9 @@ def q_term_df(spark, sf_dir):
     )
 
 
-def q_postings_decode(spark, sf_dir):
-    """B2+codec end-to-end: decode the built index's content-field posting
-    runs back to sorted doc-id lists (delta+varbyte round-trip vs SQL)."""
-    eng = get_engine(spark, sf_dir)
+def _decode_content_postings(eng: SearchEngine) -> DataFrame:
+    """Decode an index's content-field posting runs back to sorted doc-id
+    lists (delta+varbyte round-trip, comparable against raw-corpus SQL)."""
     bs = int(eng.stats["block_size"])
     prefix = "content\x01"
 
@@ -233,6 +336,19 @@ def q_postings_decode(spark, sf_dir):
     )
 
 
+def q_postings_decode(spark, sf_dir):
+    """B2+codec end-to-end: decode the built index's content-field posting
+    runs back to sorted doc-id lists (delta+varbyte round-trip vs SQL)."""
+    return _decode_content_postings(get_engine(spark, sf_dir))
+
+
+def q_resume_decode(spark, sf_dir):
+    """S7/B5: kill-and-resume lifecycle — a one-wave partial build resumed
+    to completion must hold the identical postings a clean build holds
+    (reference: LoadFromForwardIndexFile restart, indexer.go:42-58)."""
+    return _decode_content_postings(_resume_engine(spark, sf_dir))
+
+
 def _bm25_query():
     return Or(*[NewTermQuery("content", t) for t in BM25_TERMS])
 
@@ -249,6 +365,62 @@ def q_bm25_top10_taat(spark, sf_dir):
     eng = get_engine(spark, sf_dir)
     hits = eng.search(_bm25_query(), k=10, mode="taat")
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_bm25_and_top10(spark, sf_dir):
+    """Conjunctive top-k through the pruned skip-pointer + block-max AND
+    scorer (mode auto selects it for flat AND queries)."""
+    eng = get_engine(spark, sf_dir)
+    q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
+    hits = eng.search(q, k=10)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_delete_then_search(spark, sf_dir):
+    """S5/B3/B4/D3 lifecycle: delete -> re-query. Scores must equal BM25
+    over the corpus WITHOUT the victims (stats + idf refreshed), proving
+    postings, forward index, and corpus stats all converged
+    (reference: indexer_test.go delete->search cycle)."""
+    eng = _mut_engine(spark, sf_dir, "del")
+    hits = eng.search(_bm25_query(), k=10, mode="wand")
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_upsert_then_search(spark, sf_dir):
+    """B1 lifecycle: upsert (delete-then-insert with fresh larger ids) ->
+    re-query. The re-added content is immediately searchable under its
+    NEW doc ids (reference: indexer_test.go re-add->search cycle)."""
+    eng = _mut_engine(spark, sf_dir, "ups")
+    q = Or(*[NewTermQuery("content", t) for t in UPSERT_TERMS])
+    hits = eng.search(q, k=10, mode="wand")
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_hydrate_top10(spark, sf_dir):
+    """S4/Q7: top-k then forward-index hydration join (broadcast of the
+    post-limit side) — payload columns must match a SQL join."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search(_bm25_query(), k=10, mode="wand", hydrate=True)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"),
+                       "id", "repo", "lang")
+
+
+def q_lookup_docs(spark, sf_dir):
+    """S4: forward-index batch get — order-insensitive, missing ids absent
+    (reference: kvdb BatchGet, kv_db.go:27)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.lookup([0, 17, 123, 10**9]).select(
+        "doc_id", "id", "lang", F.col("doc_sha").alias("sha"))
+
+
+def q_has_doc(spark, sf_dir):
+    """S8: existence probes as a DataFrame op (reference: kvdb Has,
+    kv_db.go:32) — one present id, one absent."""
+    eng = get_engine(spark, sf_dir)
+    probes = spark.createDataFrame([(5,), (987654321,)], "doc_id long")
+    present = eng.docs.select("doc_id").withColumn("present", F.lit(True))
+    return probes.join(present, "doc_id", "left").select(
+        "doc_id", F.coalesce("present", F.lit(False)).alias("present"))
 
 
 def q_bool_and(spark, sf_dir):
@@ -346,6 +518,13 @@ QUERIES = {
     "postings_decode": q_postings_decode,
     "bm25_top10_wand": q_bm25_top10_wand,
     "bm25_top10_taat": q_bm25_top10_taat,
+    "bm25_and_top10": q_bm25_and_top10,
+    "delete_then_search": q_delete_then_search,
+    "upsert_then_search": q_upsert_then_search,
+    "resume_decode": q_resume_decode,
+    "hydrate_top10": q_hydrate_top10,
+    "lookup_docs": q_lookup_docs,
+    "has_doc": q_has_doc,
     "bool_and": q_bool_and,
     "bool_flags_on": q_bool_flags_on,
     "bool_flags_or": q_bool_flags_or,
@@ -392,6 +571,32 @@ ORACLE_SQL = {
     ),
     "bm25_top10_wand": SQL_BM25_TOP10,
     "bm25_top10_taat": SQL_BM25_TOP10,
+    "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
+    "delete_then_search": sql_bm25_topk(
+        base=f"{SQL_DOCS_BASE} WHERE doc_id NOT IN {SQL_DEL_IDS_IN}"),
+    "upsert_then_search": sql_bm25_topk(UPSERT_TERMS,
+                                        base=SQL_UPSERTED_BASE),
+    "resume_decode": (
+        f"WITH toks AS ({SQL_TOKS}) "
+        "SELECT term, count(*) AS df, "
+        "string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS ids_csv "
+        "FROM (SELECT DISTINCT term, doc_id FROM toks) GROUP BY term"
+    ),
+    "hydrate_top10": sql_bm25_topk(project=(
+        "SELECT s.doc_id, round(s.score * 10000.0)::bigint AS score_x4, "
+        f"{SQL_ID_EXPR} AS id, d.source AS repo, d.lang "
+        "FROM (SELECT doc_id, score FROM scores "
+        "ORDER BY score DESC, doc_id LIMIT 10) s "
+        "JOIN documents d ON s.doc_id = d.doc_id")),
+    "lookup_docs": (
+        f"SELECT d.doc_id, {SQL_ID_EXPR} AS id, d.lang, sha256(d.text) AS sha "
+        "FROM documents d WHERE d.doc_id IN (0, 17, 123, 1000000000)"
+    ),
+    "has_doc": (
+        "SELECT p.doc_id, (d.doc_id IS NOT NULL) AS present "
+        "FROM (SELECT 5::bigint AS doc_id UNION ALL SELECT 987654321::bigint) p "
+        "LEFT JOIN documents d ON p.doc_id = d.doc_id"
+    ),
     "bool_and": (
         f"WITH toks AS ({SQL_TOKS}) "
         "SELECT doc_id FROM toks WHERE term = 'table' "

@@ -29,6 +29,7 @@ from quicker_spark.functions.kernels import (
     EncodedPostings,
     eval_bool_tree,
     filter_by_bits_vec,
+    score_segment_conjunctive,
     score_segment_exhaustive,
     score_segment_wand,
 )
@@ -62,28 +63,45 @@ def _is_flat_or(q: TermQuery) -> bool:
     return bool(q.should) and all(c.keyword for c in q.should)
 
 
+def _is_flat_and(q: TermQuery) -> bool:
+    return bool(q.must) and all(c.keyword for c in q.must)
+
+
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       k: int, on: int, off: int, or_flags: tuple,
-                      k1: float, b: float, block_size: int, use_wand: bool):
+                      k1: float, b: float, block_size: int, strategy: str,
+                      n_query_terms: int):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
-    is executor-side data, never driver state)."""
+    is executor-side data, never driver state).
+
+    strategy: 'wand' (flat OR, block-max pruned), 'conj' (flat AND,
+    skip-pointer intersection + block-max pruned), 'taat' (any tree,
+    exhaustive decode)."""
     query = json.loads(query_json)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
         if len(pdf) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return empty
+        if strategy == "conj" and len(pdf) < n_query_terms:
+            # a query term has no postings in this segment: the
+            # intersection is empty here (reference early-exit,
+            # skiplist_reverse_index.go:88-90)
+            return empty
         idf = {
             r["term"]: bm25_idf(n_docs, int(r["df_global"]))
             for _, r in pdf.iterrows()
         }
-        if use_wand:
+        if strategy in ("wand", "conj"):
             postings = {r["term"]: _row_to_encoded(r, block_size)
                         .with_bounds(avgdl, k1, b)
                         for _, r in pdf.iterrows()}
-            ids, scores = score_segment_wand(
+            scorer = (score_segment_wand if strategy == "wand"
+                      else score_segment_conjunctive)
+            ids, scores = scorer(
                 postings, idf, avgdl, k, on, off, or_flags, k1, b)
         else:
             decoded = {r["term"]: _row_to_encoded(r, block_size).decode_all()
@@ -157,17 +175,23 @@ class SearchEngine:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
 
-        mode: 'wand' (block-max WAND; flat OR queries), 'taat'
-        (exhaustive vectorized), 'auto' (wand when the query shape allows).
+        mode: 'wand' (block-max WAND; flat OR queries), 'conj'
+        (skip-pointer + block-max intersection; flat AND queries), 'taat'
+        (exhaustive vectorized, any tree shape), 'auto' (pruned path when
+        the query shape allows, else taat).
         """
         terms = q.terms()
         if not terms:
             return self._empty_hits(hydrate)
-        use_wand = (mode == "wand") or (mode == "auto" and _is_flat_or(q))
+        if mode == "auto":
+            strategy = ("wand" if _is_flat_or(q)
+                        else "conj" if _is_flat_and(q) else "taat")
+        else:
+            strategy = mode
         kern = _make_topk_kernel(
             q.to_json(), int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
-            self.stats["block_size"], use_wand,
+            self.stats["block_size"], strategy, len(terms),
         )
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(terms))))

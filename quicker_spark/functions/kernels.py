@@ -559,3 +559,106 @@ def score_segment_wand(
     doc_ids = np.array([-d for _, d in out], dtype=np.int64)
     scores = np.array([s for s, _ in out], dtype=np.float64)
     return doc_ids, scores
+
+
+# -- conjunctive (AND) block-max top-k -----------------------------------------
+
+def score_segment_conjunctive(
+    postings: dict[str, EncodedPostings],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    on: int = 0,
+    off: int = 0,
+    or_flags=(),
+    k1: float = K1,
+    b: float = B,
+):
+    """Top-k over a flat AND-of-terms query with skip-pointer intersection
+    and block-max pruning.
+
+    The exhaustive TAAT path decodes EVERY posting of every query term;
+    this kernel is the scale path for conjunctions: the rarest term drives,
+    the other cursors advance by galloping seek over the block_last skip
+    pointers (only blocks that can contain a candidate are decoded —
+    the reference's whole intersection design, skiplist_reverse_index.go:
+    77-130, generalized with the block-skip the skiplist gave it), and a
+    candidate's values are decoded only when the sum of the current block
+    maxima beats the heap threshold (the BMW bound applied to the
+    conjunction).
+
+    ``postings`` must contain EVERY query term with df > 0 in this
+    segment; callers pass the segment's rows — a missing term means the
+    intersection is empty here (the reference's early-exit: an empty list
+    nils the whole intersection, skiplist_reverse_index.go:88-90).
+
+    Lossless for (score desc, doc_id asc) top-k for the same reasons as
+    WAND: ascending-id emission + (score, -doc_id) heap + admissible
+    bounds. Returns (doc_ids, scores) ordered by (score desc, doc_id asc).
+    """
+    import heapq
+
+    def _empty():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    if not postings or any(enc.df == 0 for enc in postings.values()):
+        return _empty()
+    # contribution summation in lexicographic term order — the exact float
+    # op order of the TAAT scorer, so both paths hash identically
+    terms_sorted = sorted(postings)
+    sum_order = {t: i for i, t in enumerate(terms_sorted)}
+    cursors = [(t, _WandCursor(postings[t], idf.get(t, 0.0)))
+               for t in sorted(postings, key=lambda t: postings[t].df)]
+    driver = cursors[0][1]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    contribs = np.zeros(len(cursors), dtype=np.float64)
+
+    while not driver.exhausted:
+        target = driver.cur_doc()
+        aligned = True
+        for _t, c in cursors[1:]:
+            c.seek(target)
+            if c.exhausted:
+                return _finalize_heap(heap)
+            if c.cur_doc() != target:
+                target = c.cur_doc()
+                aligned = False
+                break
+        if not aligned:
+            driver.seek(target)
+            continue
+
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        block_ub = 0.0
+        for _t, c in cursors:
+            block_ub += c.cur_block_ub()
+        if block_ub > theta:
+            passed = True
+            for t, c in cursors:
+                contrib, ok = c.score_at(target, avgdl, k1, b, on, off, or_flags)
+                if ok is False:
+                    passed = False
+                    break
+                contribs[sum_order[t]] = contrib
+            if passed:
+                score = float(np.sum(contribs))
+                item = (score, -target)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            driver.advance()
+        else:
+            # no doc in the current block combination can beat theta:
+            # skip past the nearest block boundary without decoding values
+            boundary = min(int(c.enc.block_last[c.blk]) for _t, c in cursors)
+            driver.seek_shallow(max(boundary + 1, target + 1))
+
+    return _finalize_heap(heap)
+
+
+def _finalize_heap(heap):
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    doc_ids = np.array([-d for _, d in out], dtype=np.int64)
+    scores = np.array([s for s, _ in out], dtype=np.float64)
+    return doc_ids, scores

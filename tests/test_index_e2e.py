@@ -100,6 +100,28 @@ def test_topk_rank_identity(engine, oracle, qi, mode):
         [r["score"] for r in got], [h.score for h in want], atol=1e-9)
 
 
+def test_conjunctive_engine_path_matches_taat(engine, oracle):
+    """Flat AND queries: the pruned conj scorer (auto-selected) and the
+    exhaustive taat path must produce identical ranks AND scores — the
+    hashes the driver compares are computed from either path."""
+    and_queries = [
+        And(NewTermQuery("content", "def"), NewTermQuery("content", "tok50")),
+        And(NewTermQuery("lang", "python"), NewTermQuery("content", "class")),
+        And(NewTermQuery("content", "def"), NewTermQuery("content", "import"),
+            NewTermQuery("content", "return")),
+        And(NewTermQuery("content", "def"),
+            NewTermQuery("content", "zzz_does_not_exist")),
+    ]
+    for q in and_queries:
+        conj = engine.search(q, k=10, mode="conj").collect()
+        taat = engine.search(q, k=10, mode="taat").collect()
+        assert [r["doc_id"] for r in conj] == [r["doc_id"] for r in taat], str(q)
+        np.testing.assert_allclose([r["score"] for r in conj],
+                                   [r["score"] for r in taat], atol=1e-12)
+        want = oracle.search_topk(q, k=10)
+        assert [r["doc_id"] for r in conj] == [h.doc_id for h in want], str(q)
+
+
 def test_topk_with_flags_matches_oracle(engine, oracle):
     q = Or(NewTermQuery("content", "def"), NewTermQuery("content", "tok80"))
     for kw in ({"on": LANG_BITS["python"]}, {"off": LANG_BITS["go"]},

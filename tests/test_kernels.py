@@ -191,6 +191,56 @@ def test_zero_or_flag_is_noop():
     np.testing.assert_allclose(z_scores, base_scores, atol=0)
 
 
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("tie_heavy", [False, True])
+def test_conjunctive_matches_exhaustive(seed, tie_heavy):
+    """The pruned AND scorer is lossless vs exhaustive TAAT on the same
+    must-query, including adversarial all-equal-score ties."""
+    from quicker_spark.functions.kernels import score_segment_conjunctive
+
+    rng = np.random.RandomState(300 + seed)
+    # dense lists so the intersection is non-trivially sized
+    postings, decoded, idf = _random_segment(rng, n_docs=800, n_terms=3,
+                                             tie_heavy=tie_heavy)
+    query = {"must": [{"keyword": {"field": "content", "word": t.split("\x01")[1]}}
+                      for t in decoded]}
+    for k in (1, 5, 10, 50):
+        e_ids, e_scores = score_segment_exhaustive(query, decoded, idf, 100.0, k)
+        c_ids, c_scores = score_segment_conjunctive(postings, idf, 100.0, k)
+        np.testing.assert_array_equal(c_ids, e_ids)
+        np.testing.assert_allclose(c_scores, e_scores, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_conjunctive_matches_exhaustive_with_flags(seed):
+    from quicker_spark.functions.kernels import score_segment_conjunctive
+
+    rng = np.random.RandomState(400 + seed)
+    postings, decoded, idf = _random_segment(rng, n_docs=600, n_terms=2)
+    query = {"must": [{"keyword": {"field": "content", "word": t.split("\x01")[1]}}
+                      for t in decoded]}
+    for on, off, orf in [(1, 0, ()), (0, 2, ()), (0, 0, (1, 2)), (0, 0, (0,))]:
+        e_ids, e_scores = score_segment_exhaustive(
+            query, decoded, idf, 100.0, 10, on=on, off=off, or_flags=orf)
+        c_ids, c_scores = score_segment_conjunctive(
+            postings, idf, 100.0, 10, on=on, off=off, or_flags=orf)
+        np.testing.assert_array_equal(c_ids, e_ids)
+        np.testing.assert_allclose(c_scores, e_scores, atol=1e-9)
+
+
+def test_conjunctive_empty_on_missing_term():
+    from quicker_spark.functions.kernels import score_segment_conjunctive
+
+    rng = np.random.RandomState(9)
+    postings, _decoded, idf = _random_segment(rng, n_terms=2)
+    t0 = next(iter(postings))
+    postings["content\x01absent"] = _mk([])  # df == 0
+    idf["content\x01absent"] = 1.0
+    ids, scores = score_segment_conjunctive(postings, idf, 100.0, 10)
+    assert ids.size == 0 and scores.size == 0
+    assert postings[t0].df > 0  # sanity: other lists were non-empty
+
+
 def test_encode_batch_matches_row_encoder():
     """encode_postings_batch must produce byte-identical layout to the
     row-at-a-time encoder for every row, including multi-block runs."""
