@@ -500,14 +500,37 @@ def q_cosine_top10(spark, sf_dir):
 
 
 def q_embed_near_pairs(spark, sf_dir):
-    p = simsearch.near_pairs(embeddings(spark, sf_dir), threshold=0.5)
+    """Near pairs through the banded sign-LSH candidate join (the scale
+    path) — compared against the EXACT all-pairs SQL oracle, so the run
+    also certifies the LSH recall at this corpus/threshold."""
+    p = simsearch.near_pairs_lsh(embeddings(spark, sf_dir), threshold=0.5)
     return p.select("a", "b", x4(F.col("cos")).alias("cos_x4"))
 
 
+_ANN_DIRS: dict[str, str] = {}
+
+
+def _ann_dir(spark, sf_dir) -> str:
+    key = os.path.normpath(sf_dir)
+    if key not in _ANN_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "quicker_ann_" + re.sub(r"\W+", "_", key).strip("_")
+            + "_" + _corpus_fingerprint(key),
+        )
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            simsearch.build_ann_index(embeddings(spark, sf_dir), out)
+        _ANN_DIRS[key] = out
+    return _ANN_DIRS[key]
+
+
 def q_lsh_ann_top10(spark, sf_dir):
-    """LSH-bucketed ANN (non-SQL-expressible plane generation is
-    deterministic, but kept rows-only checked)."""
-    c = simsearch.lsh_ann_topk(embeddings(spark, sf_dir), query_id=0, k=10)
+    """Multi-probe ANN against the bucket-partitioned index built by
+    build_ann_index — the probe reads only the probed bucket directories
+    (rows-only checked: approximate by construction; recall@10 vs the
+    exact scan is asserted in tests/test_searcher_multimodal.py)."""
+    c = simsearch.lsh_ann_topk_indexed(spark, _ann_dir(spark, sf_dir),
+                                       query_id=0, k=10)
     return c.select("vec_id", x4(F.col("cos")).alias("cos_x4"))
 
 

@@ -58,9 +58,10 @@ def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
 
 def near_pairs(emb: DataFrame, threshold: float = 0.9,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(a, b, cos): all pairs (a<b) with cosine >= threshold — the exact
-    (quadratic) embedding near-dup check; use `lsh_ann` buckets to
-    prefilter at scale."""
+    """(a, b, cos): all pairs (a<b) with cosine >= threshold — the EXACT
+    quadratic check. Test-oracle only: at scale use
+    :func:`near_pairs_lsh`, which finds the same pairs through a banded
+    sign-LSH candidate equi-join instead of an all-pairs theta join."""
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     a, b = e.alias("a"), e.alias("b")
     ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
@@ -72,6 +73,53 @@ def near_pairs(emb: DataFrame, threshold: float = 0.9,
     )
 
 
+def near_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
+                   n_planes: int = 16, bands: int = 8, dim: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(a, b, cos): near pairs through banded sign-LSH candidates — the
+    scale path for embedding near-dup detection.
+
+    Each vector gets ``n_planes`` hyperplane sign bits, grouped into
+    ``bands`` band keys; candidate pairs share >= 1 band (equi-join on the
+    band key, sub-quadratic exactly like the MinHash LSH join); the exact
+    cosine then keeps pairs >= threshold. Probabilistic recall: a pair at
+    cosine c collides per plane with prob 1 - arccos(c)/pi, so with 8
+    bands of 2 a 0.9-cosine pair is missed with prob ~(1 - 0.81)^8 ~ 2e-6;
+    true near-dups (c > 0.99) are effectively never missed.
+    """
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    r = n_planes // bands
+    band_keys = []
+    for bi in range(bands):
+        acc = F.lit(0).cast("long")
+        for j in range(r):
+            p = bi * r + j
+            plane = F.array(*[F.lit(_plane_component(p, d))
+                              for d in range(dim)])
+            acc = acc + F.when(dot(F.col("v"), plane) > 0,
+                               F.lit(1 << j)).otherwise(F.lit(0))
+        band_keys.append(F.concat_ws(":", F.lit(str(bi)), acc.cast("string")))
+    # band rows carry only (id, band_key): the vectors join back AFTER
+    # the candidate self-join, so the wide embedding column is shuffled
+    # once per side instead of `bands` times through the explode
+    rows = e.select(F.col(id_col),
+                    F.explode(F.array(*band_keys)).alias("band_key"))
+    a, b = rows.alias("a"), rows.alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (ib > ia))
+        .select(ia.alias("a"), ib.alias("b"))
+        .distinct()
+    )
+    va = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    vb = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (cand.join(va, "a").join(vb, "b")
+            .select("a", "b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 # -- LSH-bucketed ANN ---------------------------------------------------------
 
 def _plane_component(p: int, d: int) -> float:
@@ -81,33 +129,120 @@ def _plane_component(p: int, d: int) -> float:
     return x / float(1 << 31) - 0.5
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """int bucket id = sign bits of ``n_planes`` hyperplane projections."""
+def lsh_bucket(vec: Column, n_planes: int, dim: int,
+               plane_offset: int = 0) -> Column:
+    """int bucket id = sign bits of ``n_planes`` hyperplane projections.
+    ``plane_offset`` selects an independent plane family (one per hash
+    table in multi-table LSH)."""
     acc = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        plane = F.array(*[F.lit(_plane_component(plane_offset + p, d))
+                          for d in range(dim)])
         proj = dot(vec, plane)
         acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return acc
 
 
-def lsh_ann_topk(emb: DataFrame, query_id: int, k: int = 10,
-                 n_planes: int = 4, dim: int = 64,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket (single-probe). Same output shape as :func:`cosine_topk`.
+def _bucket_of(vec, n_planes: int, plane_offset: int = 0) -> int:
+    """Driver-side bucket of one vector (numpy; same planes, same sign
+    rule as :func:`lsh_bucket`) — used for the query-side point lookup."""
+    import numpy as np
 
-    At scale the emb table is written `partitionBy(bucket)` so the probe
-    is a partition-pruned scan of ~1/2^n_planes of the data.
+    v = np.asarray(vec, dtype=np.float64)
+    acc = 0
+    for p in range(n_planes):
+        plane = np.array([_plane_component(plane_offset + p, d)
+                          for d in range(len(v))])
+        # left-fold sum, matching Catalyst's aggregate() order exactly
+        proj = 0.0
+        for x in v * plane:
+            proj += float(x)
+        if proj > 0:
+            acc |= 1 << p
+    return acc
+
+
+def lsh_ann_topk(emb: DataFrame, query_id: int, k: int = 10,
+                 n_planes: int = 4, dim: int = 64, probes: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket plus
+    ``probes - 1`` extra Hamming-neighbor buckets (multi-probe: the
+    nearest misclassified vectors differ in exactly one plane sign, so
+    probing Hamming-1 buckets recovers most of single-probe's misses).
+    Same output shape as :func:`cosine_topk`.
+
+    This variant computes buckets on the fly (no prebuilt table); the
+    scale path is :func:`build_ann_index` + :func:`lsh_ann_topk_indexed`,
+    where the probe is a partition-pruned read.
     """
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("bucket", lsh_bucket(F.col("v"), n_planes, dim))
     q = (e.filter(F.col(id_col) == query_id)
           .select(F.col("v").alias("qv"), F.col("bucket").alias("qb")))
     cos = cosine(F.col("v"), F.col("qv"))
+    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb")))
+    max_ham = 0 if probes <= 1 else 1
     return (
         e.crossJoin(F.broadcast(q))
-        .filter((F.col("bucket") == F.col("qb")) & (F.col(id_col) != query_id))
+        .filter((hamming <= max_ham) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_ann_index(emb: DataFrame, out_dir: str, n_planes: int = 4,
+                    dim: int = 64, n_tables: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the embedding table partitioned by (hash table, LSH
+    bucket) — standard multi-table LSH: ``n_tables`` independent plane
+    families trade ``n_tables``x storage for union-of-probes recall. The
+    probe side (:func:`lsh_ann_topk_indexed`) reads only the probed
+    bucket directories (partition pruning) — ~n_tables * probes /
+    2^n_planes of the data, never a full scan."""
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    tables = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 lsh_bucket(F.col("v"), n_planes, dim,
+                            plane_offset=t * n_planes).alias("bucket"))
+        for t in range(n_tables)
+    ])).alias("tb")
+    rows = (e.select(F.col(id_col), F.col("v"), tables)
+            .select(id_col, "v", F.col("tb.tbl").alias("tbl"),
+                    F.col("tb.bucket").alias("bucket")))
+    (rows.repartition("tbl", "bucket").write.mode("overwrite")
+     .partitionBy("tbl", "bucket").parquet(out_dir))
+
+
+def lsh_ann_topk_indexed(spark, ann_dir: str, query_id: int, k: int = 10,
+                         n_planes: int = 4, n_tables: int = 3,
+                         probes: int = 5,
+                         id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k against a :func:`build_ann_index` table.
+
+    The query vector is one point lookup (control-plane-sized collect);
+    its per-table buckets are derived driver-side from the deterministic
+    planes. Each table contributes its exact bucket plus ``probes - 1``
+    Hamming-1 neighbors; the candidate scan is pruned to those
+    directories, candidates are deduped across tables, and the exact
+    cosine ranks them."""
+    e = spark.read.parquet(ann_dir)
+    qrow = e.filter(F.col(id_col) == query_id).select("v").head()
+    if qrow is None:
+        return spark.createDataFrame([], f"{id_col} long, cos double")
+    qv = list(qrow["v"])
+    cond = None
+    for t in range(n_tables):
+        qb = _bucket_of(qv, n_planes, plane_offset=t * n_planes)
+        buckets = ([qb] + [qb ^ (1 << p) for p in range(n_planes)])
+        buckets = buckets[:max(1, probes)]
+        c = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
+        cond = c if cond is None else (cond | c)
+    cos = cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in qv]))
+    return (
+        e.filter(cond)
+        .filter(F.col(id_col) != query_id)
+        .dropDuplicates([id_col])
         .select(F.col(id_col), cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)

@@ -107,3 +107,88 @@ def test_frame_sample_fanout(media):
 def test_decode_strict_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_rgb(b"abc", strict=True)
+
+
+# -- embedding similarity: ANN quality + plan contracts -----------------------
+
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@needs_testdata
+def test_ann_recall_at_10(spark, emb, tmp_path_factory):
+    """Multi-probe bucketed ANN must reach recall@10 >= 0.8 vs the exact
+    scan, averaged over queries ('approximate by construction' is a
+    measured claim, not an unmeasured one)."""
+    from quicker_spark.operators import simsearch
+
+    ann_dir = str(tmp_path_factory.mktemp("ann") / "idx")
+    simsearch.build_ann_index(emb, ann_dir, n_planes=4)
+    hits = 0
+    total = 0
+    for qid in (0, 7, 42, 99, 250):
+        exact = {r["vec_id"] for r in
+                 simsearch.cosine_topk(emb, qid, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  simsearch.lsh_ann_topk_indexed(spark, ann_dir, qid,
+                                                 k=10, probes=5).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    assert total > 0
+    assert hits / total >= 0.8, f"recall@10 = {hits / total:.2f}"
+
+
+@needs_testdata
+def test_ann_probe_is_partition_pruned(spark, emb, tmp_path_factory):
+    """The indexed probe must read only the probed bucket directories."""
+    from quicker_spark.operators import simsearch
+
+    ann_dir = str(tmp_path_factory.mktemp("annp") / "idx")
+    simsearch.build_ann_index(emb, ann_dir, n_planes=4)
+    df = simsearch.lsh_ann_topk_indexed(spark, ann_dir, 0, k=10, probes=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket IN" in plan or "PartitionFilters: [bucket" in plan \
+        or "bucket#" in plan  # pruning filter present in scan
+    # stronger: the optimized plan's scan carries partition filters
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bucket" in opt
+
+
+@needs_testdata
+def test_near_pairs_lsh_recall(emb):
+    """The banded sign-LSH candidate route: (a) never invents a pair
+    (candidates are verified with the exact cosine), (b) finds >= 90% of
+    pairs even at a deliberately loose 0.4 threshold, and (c) finds EVERY
+    pair at 0.45+ — recall rises with similarity, so true near-dups
+    (cos > 0.9, per-band collision ~0.87) are effectively never missed."""
+    from quicker_spark.operators import simsearch
+
+    exact = {(r["a"], r["b"]): r["cos"] for r in
+             simsearch.near_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r["a"], r["b"]): r["cos"] for r in
+           simsearch.near_pairs_lsh(emb, threshold=0.4).collect()}
+    assert len(exact) >= 10  # loose threshold yields a meaningful sample
+    assert set(lsh) <= set(exact)                       # no false pairs
+    for p in lsh:
+        assert abs(lsh[p] - exact[p]) < 1e-12           # exact cosines
+    assert len(lsh) / len(exact) >= 0.9                 # recall floor
+    strong = {p for p, c in exact.items() if c >= 0.45}
+    assert strong <= set(lsh)                           # no strong misses
+
+
+@needs_testdata
+def test_near_pairs_lsh_plan_has_no_cartesian(emb):
+    from quicker_spark.operators import simsearch
+
+    plan = simsearch.near_pairs_lsh(emb, threshold=0.5)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
