@@ -49,10 +49,14 @@ def _row_to_encoded(row: pd.Series, block_size: int) -> EncodedPostings:
         block_last=np.asarray(row["block_last"], dtype=np.int64),
         block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
         block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int64),
+        block_min_tf=np.asarray(row["block_min_tf"], dtype=np.int64),
+        block_max_dl=np.asarray(row["block_max_dl"], dtype=np.int64),
+        block_max_u_ref=np.asarray(row["block_max_u_ref"], dtype=np.float64),
         off_ids=np.asarray(row["off_ids"], dtype=np.int64),
         off_tfs=np.asarray(row["off_tfs"], dtype=np.int64),
         off_dls=np.asarray(row["off_dls"], dtype=np.int64),
         off_bits=np.asarray(row["off_bits"], dtype=np.int64),
+        avgdl_ref=float(row["avgdl_ref"]),
         block_size=block_size,
     )
 

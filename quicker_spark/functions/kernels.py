@@ -18,13 +18,22 @@ WAND skip blocks without touching their bytes. Per-block metadata: last
 doc_id (skip pointer) + max tf + min doc_len + byte offsets into each
 stream.
 
-The WAND bound is NOT stored — only the immutable per-block ``max_tf``
-and ``min_dl`` are. ``bm25_u`` is monotone in tf and anti-monotone in dl,
-so ``u(max_tf, min_dl, avgdl)`` computed at query time from the CURRENT
-corpus avgdl dominates every posting in the block. That makes posting
-bytes avgdl-independent: a delete/upsert that shifts avgdl never rewrites
-untouched segments (the stored-bound design forced a full-index metadata
-rewrite per maintenance batch).
+The WAND bound is derived at QUERY time from immutable per-block stats —
+segments are avgdl-independent, so a delete/upsert that shifts avgdl
+never rewrites untouched waves. Two bound sources, elementwise min:
+
+1. ``u(max_tf, min_dl, avgdl)`` — always admissible (u is monotone in tf,
+   anti-monotone in dl) but LOOSE: on hot terms it over-estimates enough
+   to collapse WAND pruning (measured 7x slower than exhaustive TAAT).
+2. ``u_ref * max_corner_ratio`` — ``u_ref`` is the TIGHT per-block max u
+   computed at the wave's build-time ``avgdl_ref``; the drift correction
+   ``ratio(tf, dl) = D(tf, dl, avgdl_ref) / D(tf, dl, avgdl)`` (where
+   ``u = tf(k1+1)/D``) is monotone in each argument, so its maximum over
+   the block lies at a corner of [min_tf, max_tf] x [min_dl, max_dl] —
+   all four corner stats are immutable.
+
+When avgdl == avgdl_ref (any index untouched by maintenance) the bound
+is exactly u_ref — identical pruning to storing the bound itself.
 """
 
 from __future__ import annotations
@@ -62,29 +71,48 @@ class EncodedPostings:
     dls: bytes
     bits: bytes
     block_last: np.ndarray    # int64[n_blocks]
-    block_max_tf: np.ndarray  # int64[n_blocks], immutable bound input
-    block_min_dl: np.ndarray  # int64[n_blocks], immutable bound input
+    block_max_tf: np.ndarray  # int64[n_blocks], immutable bound inputs
+    block_min_dl: np.ndarray
+    block_min_tf: np.ndarray
+    block_max_dl: np.ndarray
+    block_max_u_ref: np.ndarray  # float64[n_blocks], tight max u AT avgdl_ref
     off_ids: np.ndarray       # int32[n_blocks+1] byte offsets (end sentinel)
     off_tfs: np.ndarray
     off_dls: np.ndarray
     off_bits: np.ndarray
+    avgdl_ref: float = 0.0    # corpus avgdl when this run was encoded
     block_size: int = DEFAULT_BLOCK
     # derived at query time by with_bounds() — never persisted
     block_max_u: np.ndarray | None = None
 
     def with_bounds(self, avgdl: float, k1: float = K1, b: float = B):
-        """Derive the admissible per-block WAND upper bound from the
-        CURRENT avgdl. Since u is monotone in tf and anti-monotone in dl,
-        ``u(max_tf, min_dl)`` dominates every posting of the block in real
-        arithmetic; the (1 + 1e-12) bump absorbs the <=2-ulp float
-        rounding gap between this evaluation and score_at's, keeping the
-        bound admissible (a hair loose only ever prunes less)."""
-        if self.df:
-            u = bm25_u(self.block_max_tf.astype(np.float64),
-                       self.block_min_dl.astype(np.float64), avgdl, k1, b)
-            self.block_max_u = u * (1.0 + 1e-12)
-        else:
+        """Derive the admissible per-block WAND upper bound for the
+        CURRENT avgdl (see module docstring for the two-source min and
+        the corner-monotonicity argument). Exactly ``u_ref`` when avgdl
+        hasn't drifted; under drift, the (1 + 1e-12) bump absorbs the
+        few-ulp float gap between this evaluation and score_at's."""
+        if not self.df:
             self.block_max_u = np.zeros(0, dtype=np.float64)
+            return self
+        if avgdl == self.avgdl_ref:
+            self.block_max_u = self.block_max_u_ref
+            return self
+        loose = bm25_u(self.block_max_tf.astype(np.float64),
+                       self.block_min_dl.astype(np.float64), avgdl, k1, b)
+        # ratio(tf, dl) = D(avgdl_ref) / D(avgdl) with D = tf + c + e*dl;
+        # monotone in tf and in dl -> max over the block is at a corner
+        c = k1 * (1.0 - b)
+        e0 = k1 * b / self.avgdl_ref
+        e1 = k1 * b / avgdl
+        rmax = None
+        for tf in (self.block_min_tf, self.block_max_tf):
+            tf = tf.astype(np.float64)
+            for dl in (self.block_min_dl, self.block_max_dl):
+                dl = dl.astype(np.float64)
+                r = (tf + c + e0 * dl) / (tf + c + e1 * dl)
+                rmax = r if rmax is None else np.maximum(rmax, r)
+        drift = self.block_max_u_ref * rmax
+        self.block_max_u = np.minimum(loose, drift) * (1.0 + 1e-12)
         return self
 
     @property
@@ -128,7 +156,8 @@ class EncodedPostings:
 
 
 def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    bits: np.ndarray,
+                    bits: np.ndarray, avgdl_ref: float,
+                    k1: float = K1, b: float = B,
                     block_size: int = DEFAULT_BLOCK) -> EncodedPostings:
     """Encode one (segment, term) run. ``ids`` must be strictly ascending.
 
@@ -138,20 +167,20 @@ def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     from the per-value byte counts; the id delta chain restarts at block
     starts by patching those positions back to absolute values.
 
-    Takes no BM25 parameters: the stored block metadata (max_tf, min_dl)
-    is score-model-independent, so the encoded bytes never change when
-    corpus statistics move.
+    ``avgdl_ref`` seeds the tight reference bound; the encoded bytes stay
+    valid (just gradually less tightly bounded) as corpus stats drift.
     """
     n = len(ids)
     if n == 0:
         z = np.zeros(1, dtype=np.int32)
+        zi = np.zeros(0, dtype=np.int64)
         return EncodedPostings(
             df=0, ids=b"", tfs=b"", dls=b"", bits=b"",
-            block_last=np.zeros(0, dtype=np.int64),
-            block_max_tf=np.zeros(0, dtype=np.int64),
-            block_min_dl=np.zeros(0, dtype=np.int64),
+            block_last=zi, block_max_tf=zi, block_min_dl=zi,
+            block_min_tf=zi, block_max_dl=zi,
+            block_max_u_ref=np.zeros(0, dtype=np.float64),
             off_ids=z, off_tfs=z, off_dls=z, off_bits=z,
-            block_size=block_size,
+            avgdl_ref=avgdl_ref, block_size=block_size,
         )
     ids = np.ascontiguousarray(ids, dtype=np.int64)
     starts = np.arange(0, n, block_size)
@@ -174,18 +203,25 @@ def encode_postings(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     bit_buf, off_bits = stream(bits)
 
     block_last = ids[ends - 1]
-    block_max_tf = np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), starts)
-    block_min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), starts)
+    tfs_i = np.asarray(tfs, dtype=np.int64)
+    dls_i = np.asarray(dls, dtype=np.int64)
+    u = bm25_u(tfs_i, dls_i, avgdl_ref, k1, b)
     return EncodedPostings(
         df=n, ids=id_buf, tfs=tf_buf, dls=dl_buf, bits=bit_buf,
-        block_last=block_last, block_max_tf=block_max_tf,
-        block_min_dl=block_min_dl,
+        block_last=block_last,
+        block_max_tf=np.maximum.reduceat(tfs_i, starts),
+        block_min_dl=np.minimum.reduceat(dls_i, starts),
+        block_min_tf=np.minimum.reduceat(tfs_i, starts),
+        block_max_dl=np.maximum.reduceat(dls_i, starts),
+        # nextafter-up: tight AND admissible at avgdl_ref
+        block_max_u_ref=np.nextafter(np.maximum.reduceat(u, starts), np.inf),
         off_ids=off_ids, off_tfs=off_tfs, off_dls=off_dls, off_bits=off_bits,
-        block_size=block_size,
+        avgdl_ref=avgdl_ref, block_size=block_size,
     )
 
 
 def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
+                          avgdl_ref: float, k1: float = K1, b: float = B,
                           block_size: int = DEFAULT_BLOCK) -> list[tuple]:
     """Encode a whole Arrow batch of posting runs with O(1) numpy passes.
 
@@ -238,6 +274,10 @@ def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
     block_last_all = ids[bend_idx - 1]
     block_max_tf_all = np.maximum.reduceat(tfs, bstart_idx)
     block_min_dl_all = np.minimum.reduceat(dls, bstart_idx)
+    block_min_tf_all = np.minimum.reduceat(tfs, bstart_idx)
+    block_max_dl_all = np.maximum.reduceat(dls, bstart_idx)
+    u = bm25_u(tfs, dls, avgdl_ref, k1, b)
+    block_u_ref_all = np.nextafter(np.maximum.reduceat(u, bstart_idx), np.inf)
 
     streams = []
     for vals in (deltas, tfs.astype(np.uint64), dls.astype(np.uint64),
@@ -258,6 +298,9 @@ def encode_postings_batch(ids_col, tfs_col, dls_col, bits_col,
         row.append(block_last_all[bs:be].tolist())
         row.append(block_max_tf_all[bs:be].tolist())
         row.append(block_min_dl_all[bs:be].tolist())
+        row.append(block_min_tf_all[bs:be].tolist())
+        row.append(block_max_dl_all[bs:be].tolist())
+        row.append(block_u_ref_all[bs:be].tolist())
         for _, cum in streams:
             row.append((cum[blk_bounds] - cum[s]).astype(np.int32).tolist())
         out.append(tuple(row))

@@ -55,7 +55,7 @@ from quicker_spark.operators.docs import prepare_docs
 # On-disk layout version. Bumped whenever the postings schema or docs
 # partitioning changes; a resume against an older-format checkpoint
 # rebuilds from scratch instead of mixing layouts.
-INDEX_FORMAT = 2
+INDEX_FORMAT = 3
 
 
 @dataclass
@@ -92,11 +92,16 @@ POSTINGS_SCHEMA = T.StructType([
     T.StructField("dls", T.BinaryType()),
     T.StructField("bits", T.BinaryType()),
     T.StructField("block_last", T.ArrayType(T.LongType())),
-    # immutable WAND bound inputs: the BM25 bound u(max_tf, min_dl, avgdl)
-    # is derived at QUERY time from the current avgdl, so posting segments
-    # never need a metadata rewrite when corpus stats shift (delete/upsert)
+    # immutable WAND bound inputs: the admissible bound for the CURRENT
+    # avgdl is derived at QUERY time (kernels.EncodedPostings.with_bounds)
+    # from the corner stats + the tight reference bound at the wave's
+    # build-time avgdl — posting segments never need a metadata rewrite
+    # when corpus stats shift (delete/upsert)
     T.StructField("block_max_tf", T.ArrayType(T.LongType())),
     T.StructField("block_min_dl", T.ArrayType(T.LongType())),
+    T.StructField("block_min_tf", T.ArrayType(T.LongType())),
+    T.StructField("block_max_dl", T.ArrayType(T.LongType())),
+    T.StructField("block_max_u_ref", T.ArrayType(T.DoubleType())),
     T.StructField("off_ids", T.ArrayType(T.IntegerType())),
     T.StructField("off_tfs", T.ArrayType(T.IntegerType())),
     T.StructField("off_dls", T.ArrayType(T.IntegerType())),
@@ -104,11 +109,13 @@ POSTINGS_SCHEMA = T.StructType([
 ])
 
 
-def _encode_udf(block_size: int):
+def _encode_udf(avgdl: float, k1: float, b: float, block_size: int):
     """Arrow UDF: aligned primitive arrays -> block-compressed layout.
 
     Whole-batch vectorized (encode_postings_batch): one varbyte pass per
     stream per Arrow batch instead of ~30 numpy calls per posting run.
+    ``avgdl`` only seeds the tight reference bound (avgdl_ref) — it does
+    not make the bytes stats-dependent.
     """
 
     @F.pandas_udf(POSTINGS_SCHEMA)
@@ -116,7 +123,7 @@ def _encode_udf(block_size: int):
             bits: pd.Series) -> pd.DataFrame:
         rows = encode_postings_batch(
             doc_ids.to_numpy(), tfs.to_numpy(), dls.to_numpy(),
-            bits.to_numpy(), block_size)
+            bits.to_numpy(), avgdl, k1, b, block_size)
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
     return enc
@@ -147,7 +154,8 @@ def _terms_col(cfg: IndexConfig):
     return F.concat(*parts)
 
 
-def wave_postings(docs_wave: DataFrame, cfg: IndexConfig) -> DataFrame:
+def wave_postings(docs_wave: DataFrame, cfg: IndexConfig,
+                  avgdl: float) -> DataFrame:
     """The posting build for one wave of segments."""
     if cfg.tf_mode == "arrow_pairs":
         udf = make_term_tf_udf(cfg.fields)
@@ -201,11 +209,12 @@ def wave_postings(docs_wave: DataFrame, cfg: IndexConfig) -> DataFrame:
         F.transform("plist", lambda x: x["dl"]).alias("a_dls"),
         F.transform("plist", lambda x: x["bitsf"]).alias("a_bits"),
     )
-    enc = _encode_udf(cfg.block_size)
+    enc = _encode_udf(avgdl, cfg.k1, cfg.b, cfg.block_size)
     return cols.select(
         "segment_id", "term",
         enc("a_ids", "a_tfs", "a_dls", "a_bits").alias("e"),
-    ).select("segment_id", "term", "e.*")
+    ).select("segment_id", "term", "e.*",
+             F.lit(float(avgdl)).alias("avgdl_ref"))
 
 
 def _success(path: str) -> bool:
@@ -213,7 +222,7 @@ def _success(path: str) -> bool:
 
 
 def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
-               cfg: IndexConfig, out_dir: str,
+               cfg: IndexConfig, avgdl: float, out_dir: str,
                wkey: int | None = None) -> float:
     """Build + checkpoint one wave of segments; returns elapsed seconds.
 
@@ -228,7 +237,7 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         & F.col("segment_id").isin([int(s) for s in wave])
     )
-    post = wave_postings(docs_wave, cfg)
+    post = wave_postings(docs_wave, cfg, avgdl)
     (post.sortWithinPartitions("term")
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, "postings", f"wave={wkey}")))
@@ -312,7 +321,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     prepare_secs = time.time() - t_prep
     with open(stats_path) as fh:
         stats = json.load(fh)
-    n_docs = stats["n_docs"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     n_segments = (n_docs + cfg.seg_docs - 1) // cfg.seg_docs
 
     # -- phase 2: posting waves with manifest-based resume
@@ -336,7 +345,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     wave_secs: list[float] = []
     for wave in waves:
-        wave_secs.append(write_wave(spark, docs_df, wave, cfg, out_dir))
+        wave_secs.append(write_wave(spark, docs_df, wave, cfg, avgdl, out_dir))
 
     # -- phase 3: global term stats (once everything is manifested)
     t_ts = time.time()

@@ -151,6 +151,9 @@ def _rebuild(spark: SparkSession, index_dir: str, stats: dict,
     written."""
     cfg = _cfg_from_stats(stats)
     stats = _recompute_stats(spark, index_dir, stats)
+    avgdl = float(stats["avgdl"])  # rebuilt waves get a fresh avgdl_ref;
+    # untouched waves keep their stale one — bounds stay admissible
+    # (with_bounds' corner correction), just marginally less tight
     wave_map = _wave_map(spark, index_dir)
     manifested = {s for segs in wave_map.values() for s in segs}
 
@@ -158,13 +161,13 @@ def _rebuild(spark: SparkSession, index_dir: str, stats: dict,
     rebuilt_waves: list[int] = []
     for wkey, segs in sorted(wave_map.items()):
         if affected_segments & set(segs):
-            write_wave(spark, docs_df, segs, cfg, index_dir, wkey=wkey)
+            write_wave(spark, docs_df, segs, cfg, avgdl, index_dir, wkey=wkey)
             rebuilt_waves.append(wkey)
     new_segs = sorted(s for s in affected_segments if s not in manifested)
     new_waves = [new_segs[i:i + cfg.wave_segments]
                  for i in range(0, len(new_segs), cfg.wave_segments)]
     for wave in new_waves:
-        write_wave(spark, docs_df, wave, cfg, index_dir)
+        write_wave(spark, docs_df, wave, cfg, avgdl, index_dir)
         rebuilt_waves.append(min(wave))
 
     _refresh_term_stats(spark, index_dir)

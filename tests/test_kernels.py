@@ -25,7 +25,7 @@ def _mk(ids, tfs=None, dls=None, bits=None, avgdl=100.0, block=4):
     tfs = np.asarray(tfs if tfs is not None else np.ones(n), dtype=np.int64)
     dls = np.asarray(dls if dls is not None else np.full(n, 100), dtype=np.int64)
     bits = np.asarray(bits if bits is not None else np.zeros(n), dtype=np.int64)
-    return encode_postings(ids, tfs, dls, bits,
+    return encode_postings(ids, tfs, dls, bits, avgdl,
                            block_size=block).with_bounds(avgdl)
 
 
@@ -36,7 +36,7 @@ def test_encode_decode_roundtrip_blocks():
     tfs = rng.randint(1, 50, n)
     dls = rng.randint(30, 300, n)
     bits = rng.randint(0, 64, n)
-    enc = encode_postings(ids, tfs, dls, bits,
+    enc = encode_postings(ids, tfs, dls, bits, 150.0,
                           block_size=128).with_bounds(150.0)
     rids, rtfs, rdls, rbits = enc.decode_all()
     np.testing.assert_array_equal(rids, ids)
@@ -50,13 +50,25 @@ def test_encode_decode_roundtrip_blocks():
         np.testing.assert_array_equal(bi, ids[s:e])
         np.testing.assert_array_equal(bt, tfs[s:e])
     # query-time-derived block maxima are admissible upper bounds, and
-    # stay admissible when avgdl moves (delete/upsert shifting stats)
-    for avgdl in (150.0, 80.0, 411.5):
+    # stay admissible when avgdl drifts (delete/upsert shifting stats)
+    for avgdl in (150.0, 80.0, 411.5, 149.999, 150.001):
         enc.with_bounds(avgdl)
         u = bm25_u(tfs, dls, avgdl)
         for blk in range(enc.n_blocks):
             s, e = blk * 128, min((blk + 1) * 128, n)
             assert enc.block_max_u[blk] >= u[s:e].max()
+    # tightness: at the reference avgdl the bound IS the true block max
+    # (nextafter'd), and under small drift it stays within 1% of it
+    enc.with_bounds(150.0)
+    u = bm25_u(tfs, dls, 150.0)
+    for blk in range(enc.n_blocks):
+        s, e = blk * 128, min((blk + 1) * 128, n)
+        assert enc.block_max_u[blk] <= np.nextafter(u[s:e].max(), np.inf)
+    enc.with_bounds(151.0)
+    u = bm25_u(tfs, dls, 151.0)
+    for blk in range(enc.n_blocks):
+        s, e = blk * 128, min((blk + 1) * 128, n)
+        assert enc.block_max_u[blk] <= u[s:e].max() * 1.01
 
 
 def test_set_op_kernels_reference_fixtures():
@@ -100,8 +112,10 @@ def _random_segment(rng, n_docs=2000, n_terms=5, avgdl=100.0, tie_heavy=False):
             tfs = rng.randint(1, 20, df).astype(np.int64)
             dls = rng.randint(30, 300, df).astype(np.int64)
         bits = rng.randint(0, 4, df).astype(np.int64)
+        # encode at a DIFFERENT avgdl_ref than the query avgdl so every
+        # WAND/conj test also exercises the drift-corrected bound path
         postings[term] = encode_postings(
-            ids, tfs, dls, bits,
+            ids, tfs, dls, bits, avgdl * 1.17,
             block_size=rng.choice([4, 16, 128])).with_bounds(avgdl)
         decoded[term] = (ids, tfs, dls, bits)
         idf[term] = bm25_idf(n_docs, df)
@@ -261,16 +275,19 @@ def test_encode_batch_matches_row_encoder():
         rows.append((ids, tfs, dls, bits))
     batch = encode_postings_batch(
         [r[0] for r in rows], [r[1] for r in rows],
-        [r[2] for r in rows], [r[3] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows], 150.0,
         block_size=128)
     assert len(batch) == len(rows)
     for (ids, tfs, dls, bits), got in zip(rows, batch):
-        e = encode_postings(ids, tfs, dls, bits, block_size=128)
+        e = encode_postings(ids, tfs, dls, bits, 150.0, block_size=128)
         assert got[0] == e.df
         assert got[1] == e.ids and got[2] == e.tfs
         assert got[3] == e.dls and got[4] == e.bits
         assert got[5] == list(e.block_last)
         assert got[6] == list(e.block_max_tf)
         assert got[7] == list(e.block_min_dl)
-        assert got[8] == list(e.off_ids) and got[9] == list(e.off_tfs)
-        assert got[10] == list(e.off_dls) and got[11] == list(e.off_bits)
+        assert got[8] == list(e.block_min_tf)
+        assert got[9] == list(e.block_max_dl)
+        assert got[10] == list(e.block_max_u_ref)
+        assert got[11] == list(e.off_ids) and got[12] == list(e.off_tfs)
+        assert got[13] == list(e.off_dls) and got[14] == list(e.off_bits)
