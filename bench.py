@@ -90,8 +90,15 @@ def main() -> None:
                            NewTermQuery("content", ts[1])),
                        k=10, mode="taat").collect()
 
+    def conj_all():
+        for ts in terms:
+            eng.search(And(NewTermQuery("content", ts[0]),
+                           NewTermQuery("content", ts[1])),
+                       k=10, mode="conj").collect()
+
     timings["bm25_wand_3q"] = median_time(wand_all)
     timings["bm25_taat_3q"] = median_time(taat_all)
+    timings["bm25_conj_3q"] = median_time(conj_all)
     # per-query latency p50 (the BASELINE.md headline query metric)
     lat = []
     for ts in terms * 2:
@@ -117,6 +124,15 @@ def main() -> None:
         lambda: simsearch.cosine_topk(emb, 0, 10).collect())
     timings["lsh_ann_top10"] = median_time(
         lambda: simsearch.lsh_ann_topk(emb, 0, 10).collect())
+    ann_dir = tempfile.mkdtemp(prefix="quicker_bench_ann_")
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    t0 = time.time()
+    simsearch.build_ann_index(emb, ann_dir)
+    timings["ann_index_build"] = time.time() - t0
+    timings["lsh_ann_indexed_top10"] = median_time(
+        lambda: simsearch.lsh_ann_topk_indexed(spark, ann_dir, 0, 10).collect())
+    timings["near_pairs_lsh"] = median_time(
+        lambda: simsearch.near_pairs_lsh(emb, threshold=0.5).count(), 1)
     timings["token_stats"] = median_time(
         lambda: textops.token_stats(docs).agg(F.sum("n_tokens")).collect(), 1)
 
@@ -132,6 +148,7 @@ def main() -> None:
         "cpus": cpus,
     }
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ann_dir, ignore_errors=True)
     print(json.dumps(out))
 
 

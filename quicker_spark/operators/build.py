@@ -264,6 +264,7 @@ class BuildReport:
     wave_secs: list[float] = field(default_factory=list)
     prepare_secs: float = 0.0
     term_stats_secs: float = 0.0
+    prepare_phases: dict = field(default_factory=dict)
 
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
@@ -292,9 +293,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     # -- phase 1: forward index + global stats (skipped when checkpointed)
     t_prep = time.time()
+    prep_phases: dict[str, float] = {}
     if not (resume and _success(docs_path) and os.path.exists(stats_path)):
+        t_rank = time.time()
         docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts,
                             id_col=cfg.id_col)
+        prep_phases["rank"] = time.time() - t_rank
+        t_write = time.time()
         # partitioned by segment: maintenance (delete/upsert) rewrites only
         # the affected segment directories (dynamic partition overwrite),
         # and the per-wave doc_id range filter prunes directories at build.
@@ -304,6 +309,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         (docs.sortWithinPartitions("doc_id")
              .write.partitionBy("segment_id")
              .mode("overwrite").parquet(docs_path))
+        prep_phases["docs_write"] = time.time() - t_write
+        t_agg = time.time()
         agg = spark.read.parquet(docs_path).agg(
             F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total")
         ).collect()[0]
@@ -318,6 +325,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
         with open(stats_path, "w") as fh:
             json.dump(stats, fh)
+        prep_phases["stats_agg"] = time.time() - t_agg
     prepare_secs = time.time() - t_prep
     with open(stats_path) as fh:
         stats = json.load(fh)
@@ -378,11 +386,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         wave_secs=wave_secs,
         prepare_secs=prepare_secs,
         term_stats_secs=term_stats_secs,
+        prepare_phases={k: round(v, 2) for k, v in prep_phases.items()},
     )
     with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
         json.dump({**stats, "build_secs": secs, "docs_per_sec": report.docs_per_sec,
                    "waves_run": len(waves), "wave_secs": wave_secs,
                    "prepare_secs": prepare_secs,
+                   "prepare_phases": {k: round(v, 2) for k, v in prep_phases.items()},
                    "term_stats_secs": term_stats_secs,
                    "postings_bytes": postings_bytes,
                    "docs_bytes": docs_bytes,
