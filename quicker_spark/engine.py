@@ -82,15 +82,29 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
 
     strategy: 'wand' (flat OR, block-max pruned), 'conj' (flat AND,
     skip-pointer intersection + block-max pruned), 'taat' (any tree,
-    exhaustive decode)."""
+    exhaustive decode), 'wand_auto'/'conj_auto' (cost-based: fall back
+    to TAAT when >= 2 query terms are dense)."""
     query = json.loads(query_json)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        strat = strategy
+        if strat in ("wand_auto", "conj_auto"):
+            # Cost-based choice, the same call an optimizer makes from
+            # stats: the pruned scorers walk candidates one pivot at a
+            # time in Python (~40us each), which pays off only when the
+            # block-max bound can skip most of them. With >= 2 DENSE
+            # low-idf terms the candidate stream is nearly the whole
+            # segment and scores are flat, so pruning collapses and the
+            # vectorized exhaustive decode wins (measured 0.65s TAAT vs
+            # 4.9s unpruned pivot walk on a 150k-doc segment).
+            dense = sum(1 for _, r in pdf.iterrows()
+                        if int(r["df_global"]) * 20 > n_docs)
+            strat = "taat" if dense >= 2 else strat[:4]
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if len(pdf) == 0:
             return empty
-        if strategy == "conj" and len(pdf) < n_query_terms:
+        if strategy.startswith("conj") and len(pdf) < n_query_terms:
             # a query term has no postings in this segment: the
             # intersection is empty here (reference early-exit,
             # skiplist_reverse_index.go:88-90)
@@ -99,11 +113,11 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
             r["term"]: bm25_idf(n_docs, int(r["df_global"]))
             for _, r in pdf.iterrows()
         }
-        if strategy in ("wand", "conj"):
+        if strat in ("wand", "conj"):
             postings = {r["term"]: _row_to_encoded(r, block_size)
                         .with_bounds(avgdl, k1, b)
                         for _, r in pdf.iterrows()}
-            scorer = (score_segment_wand if strategy == "wand"
+            scorer = (score_segment_wand if strat == "wand"
                       else score_segment_conjunctive)
             ids, scores = scorer(
                 postings, idf, avgdl, k, on, off, or_flags, k1, b)
@@ -181,15 +195,17 @@ class SearchEngine:
 
         mode: 'wand' (block-max WAND; flat OR queries), 'conj'
         (skip-pointer + block-max intersection; flat AND queries), 'taat'
-        (exhaustive vectorized, any tree shape), 'auto' (pruned path when
-        the query shape allows, else taat).
+        (exhaustive vectorized, any tree shape), 'auto' (cost-based:
+        pruned path when the query shape allows AND the per-segment term
+        stats say pruning can pay; all paths are lossless, so the choice
+        affects latency only, never results).
         """
         terms = q.terms()
         if not terms:
             return self._empty_hits(hydrate)
         if mode == "auto":
-            strategy = ("wand" if _is_flat_or(q)
-                        else "conj" if _is_flat_and(q) else "taat")
+            strategy = ("wand_auto" if _is_flat_or(q)
+                        else "conj_auto" if _is_flat_and(q) else "taat")
         else:
             strategy = mode
         kern = _make_topk_kernel(

@@ -90,21 +90,21 @@ def near_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
     """
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     r = n_planes // bands
-    band_keys = []
-    for bi in range(bands):
-        acc = F.lit(0).cast("long")
-        for j in range(r):
-            p = bi * r + j
-            plane = F.array(*[F.lit(_plane_component(p, d))
-                              for d in range(dim)])
-            acc = acc + F.when(dot(F.col("v"), plane) > 0,
-                               F.lit(1 << j)).otherwise(F.lit(0))
-        band_keys.append(F.concat_ws(":", F.lit(str(bi)), acc.cast("string")))
+    # one Arrow pass computes all n_planes sign bits as a single long;
+    # the per-band keys are then cheap bit-slices of it in Catalyst
+    sig = _buckets_udf(n_planes, dim)(F.col("v"))
+    signed = e.select(F.col(id_col), sig.alias("sig"))
+    band_keys = [
+        F.concat_ws(":", F.lit(str(bi)),
+                    F.shiftright(F.col("sig"), bi * r)
+                    .bitwiseAND(F.lit((1 << r) - 1)).cast("string"))
+        for bi in range(bands)
+    ]
     # band rows carry only (id, band_key): the vectors join back AFTER
     # the candidate self-join, so the wide embedding column is shuffled
     # once per side instead of `bands` times through the explode
-    rows = e.select(F.col(id_col),
-                    F.explode(F.array(*band_keys)).alias("band_key"))
+    rows = signed.select(F.col(id_col),
+                         F.explode(F.array(*band_keys)).alias("band_key"))
     a, b = rows.alias("a"), rows.alias("b")
     ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     cand = (
@@ -141,6 +141,35 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int,
         proj = dot(vec, plane)
         acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return acc
+
+
+def _buckets_udf(n_planes: int, dim: int, plane_offset: int = 0):
+    """Arrow UDF: array<double> vector -> int64 of ``n_planes`` sign bits.
+
+    One vectorized pass per Arrow batch instead of a ~n_planes*dim-literal
+    Catalyst expression (whose codegen dominated near-pair candidate
+    generation). The accumulator adds v[d]*plane[d] in ascending-d order,
+    the EXACT float64 fold `lsh_bucket`'s Catalyst aggregate performs, so
+    both produce identical sign bits for every vector."""
+    import numpy as np
+
+    planes = np.array([[_plane_component(plane_offset + p, d)
+                        for d in range(dim)] for p in range(n_planes)])
+
+    @F.pandas_udf("long")
+    def buckets(v):
+        import pandas as pd
+
+        V = np.array(v.tolist(), dtype=np.float64)
+        if V.ndim != 2 or not len(V):
+            return pd.Series(np.zeros(len(v), dtype=np.int64))
+        acc = np.zeros((V.shape[0], n_planes), dtype=np.float64)
+        for d in range(dim):
+            acc += V[:, d:d + 1] * planes[None, :, d]
+        bits = (acc > 0).astype(np.int64)
+        return pd.Series((bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1))
+
+    return buckets
 
 
 def _bucket_of(vec, n_planes: int, plane_offset: int = 0) -> int:
@@ -203,8 +232,9 @@ def build_ann_index(emb: DataFrame, out_dir: str, n_planes: int = 4,
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     tables = F.explode(F.array(*[
         F.struct(F.lit(t).alias("tbl"),
-                 lsh_bucket(F.col("v"), n_planes, dim,
-                            plane_offset=t * n_planes).alias("bucket"))
+                 _buckets_udf(n_planes, dim,
+                              plane_offset=t * n_planes)(F.col("v"))
+                 .alias("bucket"))
         for t in range(n_tables)
     ])).alias("tb")
     rows = (e.select(F.col(id_col), F.col("v"), tables)
