@@ -369,10 +369,12 @@ def q_bm25_top10_taat(spark, sf_dir):
 
 def q_bm25_and_top10(spark, sf_dir):
     """Conjunctive top-k through the pruned skip-pointer + block-max AND
-    scorer (mode auto selects it for flat AND queries)."""
+    scorer (explicit mode='conj': auto's cost-based fallback may pick
+    TAAT for dense terms, and this entry exists to certify the pruned
+    path against the oracle)."""
     eng = get_engine(spark, sf_dir)
     q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
-    hits = eng.search(q, k=10)
+    hits = eng.search(q, k=10, mode="conj")
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
@@ -411,6 +413,18 @@ def q_lookup_docs(spark, sf_dir):
     eng = get_engine(spark, sf_dir)
     return eng.lookup([0, 17, 123, 10**9]).select(
         "doc_id", "id", "lang", F.col("doc_sha").alias("sha"))
+
+
+def q_doc_id_rank(spark, sf_dir):
+    """S2/§1.3: deterministic engine doc ids — dense rank of
+    sha256(repo\\x01path\\x01commit) over the corpus, partition-count
+    independent (two-pass range-partition scheme, no global window).
+    Verified against SQL's row_number over the same hash order."""
+    from quicker_spark.operators.docs import assign_doc_ids
+
+    ranked = assign_doc_ids(corpus_df(spark, sf_dir), n_parts=8)
+    return ranked.select(F.col("biz_id").alias("orig_id"),
+                         F.col("doc_id").alias("rank_id"))
 
 
 def q_has_doc(spark, sf_dir):
@@ -548,6 +562,7 @@ QUERIES = {
     "hydrate_top10": q_hydrate_top10,
     "lookup_docs": q_lookup_docs,
     "has_doc": q_has_doc,
+    "doc_id_rank": q_doc_id_rank,
     "bool_and": q_bool_and,
     "bool_flags_on": q_bool_flags_on,
     "bool_flags_or": q_bool_flags_or,
@@ -619,6 +634,12 @@ ORACLE_SQL = {
         "SELECT p.doc_id, (d.doc_id IS NOT NULL) AS present "
         "FROM (SELECT 5::bigint AS doc_id UNION ALL SELECT 987654321::bigint) p "
         "LEFT JOIN documents d ON p.doc_id = d.doc_id"
+    ),
+    "doc_id_rank": (
+        "SELECT doc_id AS orig_id, "
+        "(row_number() OVER (ORDER BY sha256(source || chr(1) || "
+        "doc_id::varchar || chr(1) || '0')) - 1)::bigint AS rank_id "
+        "FROM documents"
     ),
     "bool_and": (
         f"WITH toks AS ({SQL_TOKS}) "
