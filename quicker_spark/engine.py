@@ -90,13 +90,14 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
         strat = strategy
         if strat in ("wand_auto", "conj_auto"):
             # Cost-based choice, the same call an optimizer makes from
-            # stats: the pruned scorers walk candidates one pivot at a
-            # time in Python (~40us each), which pays off only when the
-            # block-max bound can skip most of them. With >= 2 DENSE
-            # low-idf terms the candidate stream is nearly the whole
-            # segment and scores are flat, so pruning collapses and the
-            # vectorized exhaustive decode wins (measured 0.65s TAAT vs
-            # 4.9s unpruned pivot walk on a 150k-doc segment).
+            # stats: the pruned scorers walk block INTERVALS (vectorized
+            # mini-TAAT per passing interval, kernels.py), which pays off
+            # only when the block-max bound can skip most intervals. With
+            # >= 2 DENSE low-idf terms the candidate stream is nearly the
+            # whole segment and scores are flat, so pruning collapses and
+            # the single-pass exhaustive decode still wins (measured
+            # ~30ms TAAT vs ~150ms interval walk on a dense 150k-doc
+            # segment — down from 4.9s with round 2's per-doc pivot walk).
             dense = sum(1 for _, r in pdf.iterrows()
                         if int(r["df_global"]) * 20 > n_docs)
             strat = "taat" if dense >= 2 else strat[:4]
@@ -172,10 +173,19 @@ class SearchEngine:
 
     def lookup(self, doc_ids: list[int]) -> DataFrame:
         """Forward-index batch get, order-insensitive, missing ids absent
-        (reference: kvdb BatchGet, internal/kvdb/kv_db.go:27). The docs
-        table is sorted by doc_id, so the IN-filter prunes parquet row
-        groups instead of scanning."""
-        return self.docs.filter(F.col("doc_id").isin([int(i) for i in doc_ids]))
+        (reference: kvdb BatchGet, internal/kvdb/kv_db.go:27). The ids'
+        segment set (doc_id // seg_docs) prunes the scan to the affected
+        segment DIRECTORIES (PartitionFilters — at 10^12 docs this is a
+        few directory reads, never a table scan), and the doc_id
+        IN-filter prunes parquet row groups within them (docs are sorted
+        by doc_id)."""
+        ids = [int(i) for i in doc_ids]
+        if not ids:
+            return self.docs.filter(F.lit(False))
+        seg_docs = int(self.stats["seg_docs"])
+        segs = sorted({i // seg_docs for i in ids})
+        return self.docs.filter(
+            F.col("segment_id").isin(segs)).filter(F.col("doc_id").isin(ids))
 
     def has(self, doc_id: int) -> bool:
         """Existence probe (reference: kvdb Has, kv_db.go:32)."""
@@ -207,6 +217,17 @@ class SearchEngine:
             strategy = ("wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
         else:
+            # explicit pruned modes are only defined for flat queries —
+            # silently flattening And(Or(a,b), c) into an intersection of
+            # all leaves would return wrong results with no error
+            if mode == "conj" and not _is_flat_and(q):
+                raise ValueError(
+                    "mode='conj' requires a flat AND-of-terms query; "
+                    "use mode='auto' or 'taat' for nested trees")
+            if mode == "wand" and not _is_flat_or(q):
+                raise ValueError(
+                    "mode='wand' requires a flat OR-of-terms query; "
+                    "use mode='auto' or 'taat' for nested trees")
             strategy = mode
         kern = _make_topk_kernel(
             q.to_json(), int(self.stats["n_docs"]), float(self.stats["avgdl"]),
@@ -244,11 +265,22 @@ class SearchEngine:
         return self.hydrate(out) if hydrate else out
 
     def hydrate(self, hits: DataFrame) -> DataFrame:
-        """Forward-index join (reference: BatchGet + decode,
-        indexer.go:126-157). hits is small post-limit -> broadcast it."""
-        payload = self.docs.select(
+        """Forward-index point lookup (reference: BatchGet + decode,
+        indexer.go:126-157). The hits are materialized first — they are
+        post-limit, so this is a control-plane-sized collect, the same k
+        keys the reference hands to BatchGet (kv_db.go:27) — and their
+        segment set + id list prune the docs scan exactly like
+        :meth:`lookup` (partition directories, then row groups). Without
+        the pruning a broadcast-hash join still READS every docs
+        partition: at 10^12 docs that is a full forward-index scan to
+        fetch k payloads."""
+        rows = hits.collect()
+        hits_local = (self.spark.createDataFrame(rows, hits.schema)
+                      if rows else hits.limit(0))
+        ids = [int(r["doc_id"]) for r in rows]
+        payload = self.lookup(ids).select(
             "doc_id", "id", "repo", "path", "commit", "lang", "doc_sha")
-        return F.broadcast(hits).join(payload, "doc_id", "inner")
+        return F.broadcast(hits_local).join(payload, "doc_id", "inner")
 
     def _empty_hits(self, hydrate: bool) -> DataFrame:
         df = self.spark.createDataFrame([], "doc_id long, score double")

@@ -408,95 +408,121 @@ def score_segment_exhaustive(
     return cands[order], scores[order]
 
 
-# -- block-max WAND top-k (disjunctive queries) --------------------------------
+# -- block-max interval scorers (WAND / conjunctive) ---------------------------
+#
+# Both pruned scorers share one vectorized structure: the doc-id space is
+# cut into INTERVALS by the union of every query term's block boundaries
+# (block_last), so within an interval each term is covered by exactly one
+# block and the interval's admissible upper bound is a plain numpy sum of
+# block maxima — precomputed for ALL intervals in a handful of vectorized
+# passes before the walk starts. The walk is then interval-at-a-time, not
+# doc-at-a-time: an interval whose bound cannot beat the heap threshold
+# is skipped with ONE float compare (no decode, no cursor bookkeeping),
+# and a passing interval is scored as a mini-TAAT — decode the covering
+# blocks once each (cached), bit-filter, union (WAND) or intersect
+# (conjunction) the candidate ids, and accumulate idf*u per term in
+# lexicographic term order: the exact float op order of the exhaustive
+# scorer, so every path hashes identically.
+#
+# Lossless for (score desc, doc_id asc) top-k: intervals ascend, so docs
+# are emitted in globally ascending id order; with the heap keyed
+# (score, -doc_id) an equal-score later doc can never displace an earlier
+# one, and a candidate enters iff its score STRICTLY beats the threshold.
+# Block maxima are nextafter-rounded up at build, so the bound is
+# admissible. Strictly stronger pruning than the reference's early-exit-
+# on-exhaustion (skiplist_reverse_index.go:112-126), and ~block_size
+# fewer interpreter iterations than a per-doc pivot walk (the round-2
+# serving bottleneck: ~40 us of Python per pivot).
 
-class _WandCursor:
-    """Per-term posting cursor with lazy block decode + skip pointers."""
 
-    __slots__ = ("enc", "idf", "blk", "pos", "ids", "vals", "exhausted", "ub")
+class _FilteredBlocks:
+    """Lazy per-block decode + bit-filter + idf*u cache for one term.
 
-    def __init__(self, enc: EncodedPostings, idf: float):
-        if enc.df and enc.block_max_u is None:
+    Adaptive decode granularity: selective queries touch few blocks, so
+    blocks decode individually on demand; but once a quarter of the
+    term's blocks have missed the cache (a dense, barely-prunable term),
+    the whole stream is decoded in ONE vectorized varbyte pass per
+    stream and later gets serve pre-sliced views — per-block decode is
+    ~10 numpy dispatches per 128 entries, which dominated the dense case.
+    """
+
+    __slots__ = ("enc", "idf", "avgdl", "k1", "b", "on", "off", "or_flags",
+                 "cache", "misses", "full")
+
+    def __init__(self, enc: EncodedPostings, idf: float, avgdl: float,
+                 k1: float, b: float, on: int, off: int, or_flags):
+        self.enc = enc
+        self.idf = idf
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+        self.on = on
+        self.off = off
+        self.or_flags = or_flags
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.misses = 0
+        self.full: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
+    def _filter(self, ids, tfs, dls, bts):
+        m = filter_by_bits_vec(bts, self.on, self.off, self.or_flags)
+        return (ids[m], m,
+                self.idf * bm25_u(tfs[m], dls[m], self.avgdl, self.k1, self.b))
+
+    def _densify(self) -> None:
+        ids, tfs, dls, bts = self.enc.decode_all()
+        fids, m, fc = self._filter(ids, tfs, dls, bts)
+        blk_of = np.arange(self.enc.df, dtype=np.int64) // self.enc.block_size
+        offs = np.searchsorted(blk_of[m], np.arange(self.enc.n_blocks + 1))
+        self.full = (fids, fc, offs)
+        self.cache.clear()
+
+    def get(self, blk: int) -> tuple[np.ndarray, np.ndarray]:
+        """-> (filtered ascending doc_ids, matching idf*u contributions)."""
+        if self.full is not None:
+            fids, fc, offs = self.full
+            return fids[offs[blk]:offs[blk + 1]], fc[offs[blk]:offs[blk + 1]]
+        hit = self.cache.get(blk)
+        if hit is None:
+            self.misses += 1
+            # trip to full decode after ~3% of blocks miss (min 4): the
+            # wasted per-block decodes stay bounded while truly selective
+            # queries never pay the full-stream pass
+            if self.misses > 4 and self.misses * self.enc.block_size * 32 > self.enc.df:
+                self._densify()
+                return self.get(blk)
+            fids, _m, fc = self._filter(self.enc.decode_block_ids(blk),
+                                        *self.enc.decode_block_vals(blk))
+            hit = (fids, fc)
+            self.cache[blk] = hit
+        return hit
+
+
+def _check_bounds(encs: list[EncodedPostings]) -> None:
+    for e in encs:
+        if e.df and e.block_max_u is None:
             raise ValueError(
                 "EncodedPostings.with_bounds(avgdl) must be called before "
                 "WAND scoring (bounds are derived at query time)")
-        self.enc = enc
-        self.idf = idf
-        self.blk = 0
-        self.pos = 0
-        self.ids = enc.decode_block_ids(0)
-        self.vals = None  # (tfs, dls, bits) decoded lazily on scoring
-        self.exhausted = enc.df == 0
-        # term-level upper bound for WAND pivoting
-        self.ub = idf * float(enc.block_max_u.max()) if enc.df else 0.0
 
-    def cur_doc(self) -> int:
-        return int(self.ids[self.pos]) if not self.exhausted else np.iinfo(np.int64).max
 
-    def cur_block_ub(self) -> float:
-        return self.idf * float(self.enc.block_max_u[self.blk])
+def _push_candidates(heap, k, theta, cand, scores) -> float:
+    """Feed one interval's scored candidates (ascending ids) into the
+    (score, -doc_id) min-heap; returns the updated threshold. Candidates
+    ascend past every existing heap id, so prefiltering on score > theta
+    can never drop a doc that would have entered later."""
+    import heapq
 
-    def _enter_block(self, blk: int):
-        if blk >= self.enc.n_blocks:
-            self.exhausted = True
-            return
-        self.blk = blk
-        self.ids = self.enc.decode_block_ids(blk)
-        self.vals = None
-        self.pos = 0
-
-    def seek(self, target: int):
-        """Advance to the first posting with doc_id >= target."""
-        if self.exhausted:
-            return
-        if target > int(self.enc.block_last[self.blk]):
-            nxt = int(np.searchsorted(self.enc.block_last, target, side="left"))
-            self._enter_block(nxt)
-            if self.exhausted:
-                return
-        self.pos = int(np.searchsorted(self.ids, target, side="left"))
-        if self.pos >= len(self.ids):  # defensive; block_last guarantees not
-            self._enter_block(self.blk + 1)
-
-    def seek_shallow(self, target: int):
-        """Block-level skip: jump to the block that may contain ``target``
-        WITHOUT decoding intermediate blocks (the block-max WAND move)."""
-        if self.exhausted:
-            return
-        nxt = int(np.searchsorted(self.enc.block_last, target, side="left"))
-        if nxt != self.blk:
-            self._enter_block(nxt)
-            if self.exhausted:
-                return
-        self.pos = int(np.searchsorted(self.ids, target, side="left"))
-        if self.pos >= len(self.ids):
-            self._enter_block(self.blk + 1)
-
-    def score_at(self, doc: int, avgdl: float, k1: float, b: float,
-                 on: int, off: int, or_flags):
-        """(contribution, passes_flags) if cur_doc == doc else (0, None)."""
-        if self.exhausted or int(self.ids[self.pos]) != doc:
-            return 0.0, None
-        if self.vals is None:
-            self.vals = self.enc.decode_block_vals(self.blk)
-        tfs, dls, bts = self.vals
-        bitv = int(bts[self.pos])
-        ok = (bitv & on) == on and (bitv & off) == 0
-        if ok:
-            for f in or_flags:
-                if f > 0 and bitv & f == 0:
-                    ok = False
-                    break
-        if not ok:
-            return 0.0, False
-        u = float(bm25_u(tfs[self.pos:self.pos + 1], dls[self.pos:self.pos + 1],
-                         avgdl, k1, b)[0])
-        return self.idf * u, True
-
-    def advance(self):
-        self.pos += 1
-        if self.pos >= len(self.ids):
-            self._enter_block(self.blk + 1)
+    if len(heap) >= k:
+        sel = np.nonzero(scores > theta)[0]
+    else:
+        sel = range(len(cand))
+    for j in sel:
+        item = (float(scores[j]), -int(cand[j]))
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    return heap[0][0] if len(heap) >= k else -np.inf
 
 
 def score_segment_wand(
@@ -510,101 +536,64 @@ def score_segment_wand(
     k1: float = K1,
     b: float = B,
 ):
-    """Block-max WAND top-k over a flat OR-of-terms query in one segment.
-
-    Lossless for (score desc, doc_id asc) top-k: docs are emitted in
-    ascending id order, so with the heap keyed (score, -doc_id) an
-    equal-score later doc can never displace an earlier one, and the
-    standard strict ``ub > threshold`` pivot condition preserves exact
-    tie-breaking. Block maxima are nextafter-rounded up at build, so the
-    bound is admissible. Strictly stronger pruning than the reference's
-    early-exit-on-exhaustion (skiplist_reverse_index.go:112-126).
+    """Block-max WAND top-k over a flat OR-of-terms query in one segment
+    (interval-at-a-time; see the section comment above for the pruning
+    and losslessness argument).
 
     Returns (doc_ids, scores) ordered by (score desc, doc_id asc).
     """
-    import heapq
+    terms = sorted(t for t, e in postings.items() if e.df > 0)
+    if not terms:
+        return _finalize_heap([])
+    encs = [postings[t] for t in terms]
+    _check_bounds(encs)
+    weights = [idf.get(t, 0.0) for t in terms]
 
-    cursors = [_WandCursor(enc, idf.get(t, 0.0)) for t, enc in postings.items()
-               if enc.df > 0]
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
-    INF = np.iinfo(np.int64).max
+    bounds = np.unique(np.concatenate([e.block_last for e in encs]))
+    blk_idx: list[np.ndarray] = []
+    ub = np.zeros(len(bounds), dtype=np.float64)
+    for e, w in zip(encs, weights):
+        bi = np.searchsorted(e.block_last, bounds, side="left")
+        blk_idx.append(bi)
+        valid = bi < e.n_blocks
+        ub[valid] += w * e.block_max_u[bi[valid]]
 
-    while True:
-        live = [c for c in cursors if not c.exhausted]
-        if not live:
-            break
-        live.sort(key=lambda c: c.cur_doc())
-        theta = heap[0][0] if len(heap) >= k else -np.inf
-
-        # WAND pivot: first prefix whose ub sum exceeds theta
-        acc = 0.0
-        pivot_idx = -1
-        for i, c in enumerate(live):
-            acc += c.ub
-            if acc > theta:
-                pivot_idx = i
-                break
-        if pivot_idx < 0:
-            break  # no doc can beat the threshold
-        pivot = live[pivot_idx].cur_doc()
-        if pivot == INF:
-            break
-
-        if live[0].cur_doc() == pivot:
-            # all prefix terms aligned on pivot: block-max refinement
-            bm = 0.0
-            j = pivot_idx
-            while j < len(live) and live[j].cur_doc() == pivot:
-                j += 1
-            for c in live[:j]:
-                bm += c.cur_block_ub()
-            if bm > theta:
-                score = 0.0
-                any_pass = False
-                aligned = [c for c in live[:j]]
-                # fixed summation order for rank identity
-                aligned_scores = []
-                for c in aligned:
-                    contrib, passed = c.score_at(pivot, avgdl, k1, b, on, off, or_flags)
-                    if passed:
-                        any_pass = True
-                    aligned_scores.append(contrib)
-                score = float(np.sum(np.array(aligned_scores, dtype=np.float64)))
-                if any_pass:
-                    item = (score, -pivot)
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-                for c in aligned:
-                    c.advance()
-            else:
-                # block-level skip: jump past the nearest block boundary,
-                # clamped to the next list's current doc — docs in between
-                # draw only on lists[:j], whose block-max sum can't beat
-                # theta (Ding & Suel BMW GetNewCandidate)
-                boundary = min(int(c.enc.block_last[c.blk]) for c in live[:j]
-                               if not c.exhausted)
-                target = boundary + 1
-                if j < len(live):
-                    target = min(target, live[j].cur_doc())
-                if target <= pivot:
-                    target = pivot + 1
-                for c in live[:j]:
-                    c.seek_shallow(max(target, c.cur_doc()))
+    filt = [_FilteredBlocks(e, w, avgdl, k1, b, on, off, or_flags)
+            for e, w in zip(encs, weights)]
+    heap: list[tuple[float, int]] = []
+    theta = -np.inf
+    prev = np.iinfo(np.int64).min  # interval i covers doc ids (prev, hi]
+    for i in range(len(bounds)):
+        lo, prev = prev, int(bounds[i])
+        hi = prev
+        if ub[i] <= theta:
+            continue
+        slices: list[tuple[np.ndarray, np.ndarray]] = []
+        for ti in range(len(terms)):
+            bi = int(blk_idx[ti][i])
+            if bi >= encs[ti].n_blocks:
+                continue
+            fids, fc = filt[ti].get(bi)
+            s = int(np.searchsorted(fids, lo, side="right"))
+            e_ = int(np.searchsorted(fids, hi, side="right"))
+            if e_ > s:
+                slices.append((fids[s:e_], fc[s:e_]))
+        if not slices:
+            continue
+        if len(slices) == 1:
+            # 0.0 + x == x bitwise, so this equals the general path
+            cand, scores = slices[0][0], slices[0][1]
         else:
-            # advance pre-pivot terms up to the pivot
-            for c in live[:pivot_idx]:
-                if c.cur_doc() < pivot:
-                    c.seek(pivot)
+            cand = np.unique(np.concatenate([sl[0] for sl in slices]))
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for fids_s, fc_s in slices:  # lex term order = TAAT float order
+                pos = np.searchsorted(fids_s, cand)
+                pos_c = np.clip(pos, 0, len(fids_s) - 1)
+                hit = fids_s[pos_c] == cand
+                scores[hit] += fc_s[pos_c[hit]]
+        theta = _push_candidates(heap, k, theta, cand, scores)
+    return _finalize_heap(heap)
 
-    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
-    doc_ids = np.array([-d for _, d in out], dtype=np.int64)
-    scores = np.array([s for s, _ in out], dtype=np.float64)
-    return doc_ids, scores
-
-
-# -- conjunctive (AND) block-max top-k -----------------------------------------
 
 def score_segment_conjunctive(
     postings: dict[str, EncodedPostings],
@@ -617,86 +606,73 @@ def score_segment_conjunctive(
     k1: float = K1,
     b: float = B,
 ):
-    """Top-k over a flat AND-of-terms query with skip-pointer intersection
-    and block-max pruning.
+    """Top-k over a flat AND-of-terms query: interval-at-a-time block-max
+    intersection (the BMW bound applied to the conjunction; see the
+    section comment above).
 
-    The exhaustive TAAT path decodes EVERY posting of every query term;
-    this kernel is the scale path for conjunctions: the rarest term drives,
-    the other cursors advance by galloping seek over the block_last skip
-    pointers (only blocks that can contain a candidate are decoded —
-    the reference's whole intersection design, skiplist_reverse_index.go:
-    77-130, generalized with the block-skip the skiplist gave it), and a
-    candidate's values are decoded only when the sum of the current block
-    maxima beats the heap threshold (the BMW bound applied to the
-    conjunction).
+    Per passing interval the RAREST term is sliced first — if its slice
+    is empty the interval is abandoned before any other term decodes a
+    block, which preserves the rare-term-drives behavior of a galloping
+    skip-pointer intersection (reference: skiplist_reverse_index.go:
+    77-130) in vectorized form.
 
     ``postings`` must contain EVERY query term with df > 0 in this
     segment; callers pass the segment's rows — a missing term means the
     intersection is empty here (the reference's early-exit: an empty list
     nils the whole intersection, skiplist_reverse_index.go:88-90).
 
-    Lossless for (score desc, doc_id asc) top-k for the same reasons as
-    WAND: ascending-id emission + (score, -doc_id) heap + admissible
-    bounds. Returns (doc_ids, scores) ordered by (score desc, doc_id asc).
+    Returns (doc_ids, scores) ordered by (score desc, doc_id asc).
     """
-    import heapq
-
-    def _empty():
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-
     if not postings or any(enc.df == 0 for enc in postings.values()):
-        return _empty()
-    # contribution summation in lexicographic term order — the exact float
-    # op order of the TAAT scorer, so both paths hash identically
-    terms_sorted = sorted(postings)
-    sum_order = {t: i for i, t in enumerate(terms_sorted)}
-    cursors = [(t, _WandCursor(postings[t], idf.get(t, 0.0)))
-               for t in sorted(postings, key=lambda t: postings[t].df)]
-    driver = cursors[0][1]
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
-    contribs = np.zeros(len(cursors), dtype=np.float64)
+        return _finalize_heap([])
+    terms = sorted(postings)  # summation order = TAAT float order
+    encs = [postings[t] for t in terms]
+    _check_bounds(encs)
+    weights = [idf.get(t, 0.0) for t in terms]
+    probe_order = sorted(range(len(terms)), key=lambda ti: encs[ti].df)
 
-    while not driver.exhausted:
-        target = driver.cur_doc()
-        aligned = True
-        for _t, c in cursors[1:]:
-            c.seek(target)
-            if c.exhausted:
-                return _finalize_heap(heap)
-            if c.cur_doc() != target:
-                target = c.cur_doc()
-                aligned = False
-                break
-        if not aligned:
-            driver.seek(target)
+    # no candidate can exceed the smallest per-term last doc id
+    max_doc = min(int(e.block_last[-1]) for e in encs)
+    bounds = np.unique(np.concatenate([e.block_last for e in encs]))
+    bounds = bounds[bounds <= max_doc]
+    blk_idx: list[np.ndarray] = []
+    ub = np.zeros(len(bounds), dtype=np.float64)
+    valid_all = np.ones(len(bounds), dtype=bool)
+    for e, w in zip(encs, weights):
+        bi = np.searchsorted(e.block_last, bounds, side="left")
+        blk_idx.append(bi)
+        v = bi < e.n_blocks
+        valid_all &= v
+        ub[v] += w * e.block_max_u[bi[v]]
+    ub[~valid_all] = -np.inf
+
+    filt = [_FilteredBlocks(e, w, avgdl, k1, b, on, off, or_flags)
+            for e, w in zip(encs, weights)]
+    heap: list[tuple[float, int]] = []
+    theta = -np.inf
+    prev = np.iinfo(np.int64).min
+    for i in range(len(bounds)):
+        lo, prev = prev, int(bounds[i])
+        hi = prev
+        if ub[i] <= theta:  # also skips intervals some term can't cover
             continue
-
-        theta = heap[0][0] if len(heap) >= k else -np.inf
-        block_ub = 0.0
-        for _t, c in cursors:
-            block_ub += c.cur_block_ub()
-        if block_ub > theta:
-            passed = True
-            for t, c in cursors:
-                contrib, ok = c.score_at(target, avgdl, k1, b, on, off, or_flags)
-                if ok is False:
-                    passed = False
-                    break
-                contribs[sum_order[t]] = contrib
-            if passed:
-                score = float(np.sum(contribs))
-                item = (score, -target)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-            driver.advance()
-        else:
-            # no doc in the current block combination can beat theta:
-            # skip past the nearest block boundary without decoding values
-            boundary = min(int(c.enc.block_last[c.blk]) for _t, c in cursors)
-            driver.seek_shallow(max(boundary + 1, target + 1))
-
+        cand: np.ndarray | None = None
+        for ti in probe_order:  # rarest first: usually exits on slice 1
+            fids, _fc = filt[ti].get(int(blk_idx[ti][i]))
+            s = int(np.searchsorted(fids, lo, side="right"))
+            e_ = int(np.searchsorted(fids, hi, side="right"))
+            sl = fids[s:e_]
+            cand = sl if cand is None else cand[
+                np.isin(cand, sl, assume_unique=True)]
+            if cand.size == 0:
+                break
+        if cand is None or cand.size == 0:
+            continue
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for ti in range(len(terms)):  # lex term order = TAAT float order
+            fids, fc = filt[ti].get(int(blk_idx[ti][i]))
+            scores += fc[np.searchsorted(fids, cand)]
+        theta = _push_candidates(heap, k, theta, cand, scores)
     return _finalize_heap(heap)
 
 

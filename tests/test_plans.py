@@ -60,6 +60,25 @@ def test_hydration_join_is_broadcast(eng):
     assert "BroadcastHashJoin" in plan
 
 
+def test_hydration_scan_is_partition_pruned(eng):
+    """hydrate must behave like a point BatchGet (reference kv_db.go:27):
+    the docs scan carries PartitionFilters on the hits' segment set, so
+    only the affected segment directories are read — never the whole
+    forward index."""
+    hits = eng.search(Or(NewTermQuery("content", "def")), k=5, hydrate=True)
+    plan = _formatted(hits)
+    scan = [ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "segment_id" in ln]
+    assert scan, plan
+
+
+def test_lookup_scan_is_partition_pruned(eng):
+    plan = _formatted(eng.lookup([3, 7, 150]))
+    scan = [ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "segment_id" in ln]
+    assert scan, plan
+
+
 def test_topk_is_take_ordered(eng):
     hits = eng.search(Or(NewTermQuery("content", "def")), k=5)
     assert "TakeOrderedAndProject" in _plan(hits)
