@@ -312,10 +312,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         prep_phases["docs_write"] = time.time() - t_write
         t_agg = time.time()
         agg = spark.read.parquet(docs_path).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total")
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total"),
+            F.max("doc_id").alias("mx")
         ).collect()[0]
         stats = {
             "n_docs": int(agg["n"]), "total_len": int(agg["total"] or 0),
+            "max_doc_id": int(agg["mx"]) if agg["mx"] is not None else -1,
             "k1": cfg.k1, "b": cfg.b, "seg_docs": cfg.seg_docs,
             "block_size": cfg.block_size, "fields": list(cfg.fields),
             "n_salts": cfg.effective_salts(), "wave_segments": cfg.wave_segments,

@@ -6,29 +6,43 @@ term's skiplist and the KV store (reference: index_service/indexer.go:
 insert with a fresh, larger DocId (indexer.go:76-82). This engine's
 segments are immutable parquet, so maintenance is partition-granular:
 
-- delete: dynamic-partition-overwrite ONLY the docs segment directories
-  that lost docs, rebuild only the posting waves covering those segments
-  (manifest tells which), re-derive corpus stats. Untouched waves and
-  untouched docs partitions are never rewritten — the WAND block bounds
-  are derived from the CURRENT avgdl at query time (kernels.py
-  with_bounds), so an avgdl shift costs zero I/O.
+- delete: replace ONLY the docs segment directories that lost docs,
+  rebuild only the posting waves covering those segments (manifest tells
+  which), delta-adjust corpus stats. Untouched waves and untouched docs
+  partitions are never rewritten — the WAND block bounds are derived
+  from the CURRENT avgdl at query time (kernels.py with_bounds), so an
+  avgdl shift costs zero I/O.
 - upsert: remove the replaced business keys from their segments, append
   the new docs with fresh ids past the current max (the reference's
   fresh-DocId contract), and build the waves covering replaced + new
   segments. The boundary segment (old max id's partial segment) is
   included so old and new docs merge.
 
-Nothing data-sized ever reaches the driver: the only collects are the
-distinct affected-segment set and per-segment row counts (one row per
-affected segment). At warehouse scale the dynamic partition overwrite
-becomes an Iceberg MERGE/overwrite-partitions commit through the same
-code seam; the wave rebuild is already a partition-local job.
+Nothing data-sized ever reaches the driver: the only collects are
+per-affected-segment aggregate rows (one row per affected segment) and
+the before/after stat deltas. Every scan is partition-pruned to the
+affected segments/waves:
 
-Crash safety: a commit marker (`maintain_pending.json`) records segment
-directories scheduled for removal before any is deleted; every
-maintenance entry point first completes a half-done removal. The posting
-wave + manifest writes are idempotent overwrites, so re-running the same
-maintenance call after a crash converges.
+- corpus stats (n_docs, total_len, avgdl, max_doc_id) are adjusted by
+  the delta of the affected segments' before/after (count, doc_len)
+  aggregates — never a full docs scan;
+- term stats are adjusted by delta: new = old − df(affected waves,
+  before) + df(affected waves, after), with the "before" aggregate
+  frozen to a staging parquet before the first wave overwrite — never a
+  full postings scan.
+
+Crash safety (two-phase commit): all replacement data (docs segment
+dirs, term stats) is written to STAGING paths first; a pending marker
+(``maintain_pending.json``) then records the swap/drop operations, the
+post-maintenance corpus stats, and the affected segment set BEFORE any
+live directory is touched. Recovery — run at the start of every
+maintenance entry point — replays the marker: finishes the directory
+swaps, restores the recorded stats, re-runs the affected-wave rebuild
+(idempotent overwrites), and falls back to a full term-stats
+recomputation (always correct regardless of how far the crashed run
+got). At warehouse scale the staged swap becomes an Iceberg
+MERGE/overwrite-partitions snapshot commit through the same seam
+(quicker_spark.io); the wave rebuild is already a partition-local job.
 """
 
 from __future__ import annotations
@@ -46,11 +60,19 @@ from quicker_spark.operators.build import IndexConfig, write_wave
 from quicker_spark.operators.docs import DOC_KEY_COLS, prepare_docs
 
 _PENDING = "maintain_pending.json"
+_DOCS_STAGING = "docs_staging"
+_TS_STAGING = "term_stats_staging"
+_TS_OLD_DELTA = "term_stats_old_delta"
 
 
 def _load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as fh:
         return json.load(fh)
+
+
+def _write_stats(index_dir: str, stats: dict) -> None:
+    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
+        json.dump(stats, fh)
 
 
 def _cfg_from_stats(stats: dict) -> IndexConfig:
@@ -66,45 +88,99 @@ def _cfg_from_stats(stats: dict) -> IndexConfig:
     )
 
 
-def _recover(index_dir: str) -> None:
-    """Finish a half-done maintenance commit: remove any segment dirs the
-    crashed run had scheduled for deletion (idempotent)."""
+def _success(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _apply_dir_ops(index_dir: str, ops: list[dict]) -> None:
+    """Execute swap/drop directory operations (idempotent: a swap whose
+    staging source is already gone was completed by a previous run)."""
+    for op in ops:
+        dst = os.path.join(index_dir, op["dst"])
+        if op["op"] == "swap":
+            src = os.path.join(index_dir, op["src"])
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+        elif op["op"] == "drop":
+            shutil.rmtree(dst, ignore_errors=True)
+
+
+def recover_pending(spark: SparkSession, index_dir: str) -> bool:
+    """Finish a half-done maintenance commit (idempotent; returns True if
+    recovery work was performed). The marker holds everything needed to
+    reach the committed post-maintenance state from ANY crash point:
+    directory ops, final corpus stats, and the affected segment set for
+    the wave rebuild. Term stats are recomputed conservatively here (a
+    partial delta state is unrecoverable after an arbitrary crash; the
+    normal path never takes this scan)."""
     marker = os.path.join(index_dir, _PENDING)
     if not os.path.exists(marker):
-        return
+        return False
     with open(marker) as fh:
         pending = json.load(fh)
+    # legacy round-2 marker: plain dir removals only
     for rel in pending.get("remove_dirs", []):
         shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
-    os.remove(marker)
-
-
-def _remove_seg_dirs(index_dir: str, segs: Iterable[int]) -> None:
-    """Crash-safe removal of now-empty docs segment directories."""
-    rels = [os.path.join("docs", f"segment_id={int(s)}") for s in segs]
-    rels = [r for r in rels if os.path.isdir(os.path.join(index_dir, r))]
-    if not rels:
-        return
-    marker = os.path.join(index_dir, _PENDING)
-    with open(marker, "w") as fh:
-        json.dump({"remove_dirs": rels}, fh)
-    for rel in rels:
+    _apply_dir_ops(index_dir, pending.get("ops", []))
+    if "stats" in pending:
+        _write_stats(index_dir, pending["stats"])
+        stats = pending["stats"]
+        affected = set(pending.get("affected_segments", []))
+        present = set(pending.get("present_segments", []))
+        if affected:
+            _rebuild_waves(spark, index_dir, stats, affected, present)
+        # conservative full recompute — always correct
+        posts_path = os.path.join(index_dir, "postings")
+        ts_staging = os.path.join(index_dir, _TS_STAGING)
+        (spark.read.parquet(posts_path)
+         .groupBy("term").agg(F.sum("df").alias("df_global"))
+         .write.mode("overwrite").parquet(ts_staging))
+        _apply_dir_ops(index_dir, [
+            {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
+    for rel in (_DOCS_STAGING, _TS_STAGING, _TS_OLD_DELTA):
         shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
     os.remove(marker)
+    return True
 
 
-def _recompute_stats(spark: SparkSession, index_dir: str, stats: dict) -> dict:
-    agg = spark.read.parquet(os.path.join(index_dir, "docs")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total")
-    ).collect()[0]
-    stats = dict(stats)
-    stats["n_docs"] = int(agg["n"])
-    stats["total_len"] = int(agg["total"] or 0)
-    stats["avgdl"] = (stats["total_len"] / stats["n_docs"]
-                      if stats["n_docs"] else 0.0)
-    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
-        json.dump(stats, fh)
-    return stats
+def _stage_docs(docs_kept: DataFrame, affected: set[int],
+                index_dir: str) -> tuple[list[dict], dict[int, dict]]:
+    """Write the affected segments' replacement rows to the staging path
+    and derive (dir ops, per-segment after-aggregates). Nothing under
+    ``docs/`` is touched here — the swap happens only after the pending
+    marker is on disk."""
+    staging = os.path.join(index_dir, _DOCS_STAGING)
+    shutil.rmtree(staging, ignore_errors=True)
+    after = {int(r["segment_id"]): {"n": int(r["n"]),
+                                    "len": int(r["len"] or 0)}
+             for r in docs_kept.groupBy("segment_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("doc_len").alias("len")).collect()}
+    (docs_kept.sortWithinPartitions("doc_id")
+     .write.mode("overwrite")
+     .partitionBy("segment_id")
+     .parquet(staging))
+    ops = []
+    for s in sorted(affected):
+        if after.get(s, {}).get("n", 0) > 0:
+            ops.append({"op": "swap",
+                        "src": f"{_DOCS_STAGING}/segment_id={s}",
+                        "dst": f"docs/segment_id={s}"})
+        else:
+            ops.append({"op": "drop", "dst": f"docs/segment_id={s}"})
+    return ops, after
+
+
+def _before_agg(docs: DataFrame, segs: set[int]) -> tuple[int, int]:
+    """(row count, total doc_len) of the affected segments BEFORE the
+    swap — a partition-pruned scan of only those segment directories."""
+    if not segs:
+        return 0, 0
+    row = (docs.filter(F.col("segment_id").isin([int(s) for s in segs]))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("len")).collect()[0])
+    return int(row["n"]), int(row["len"] or 0)
 
 
 def _wave_map(spark: SparkSession, index_dir: str) -> dict[int, list[int]]:
@@ -117,40 +193,15 @@ def _wave_map(spark: SparkSession, index_dir: str) -> dict[int, list[int]]:
     return dict(m)
 
 
-def _refresh_term_stats(spark: SparkSession, index_dir: str) -> None:
-    # column-pruned scan of (term, df) + map-side combine; one row per
-    # (term, segment) enters the shuffle
-    posts = spark.read.parquet(os.path.join(index_dir, "postings"))
-    (posts.groupBy("term").agg(F.sum("df").alias("df_global"))
-          .write.mode("overwrite")
-          .parquet(os.path.join(index_dir, "term_stats")))
-
-
-def _overwrite_affected_docs(docs_kept: DataFrame, affected: set[int],
-                             index_dir: str) -> set[int]:
-    """Dynamic-partition-overwrite the affected docs segment dirs with
-    ``docs_kept`` (rows of affected segments only, already filtered).
-    Returns the segments that ended up EMPTY (dynamic overwrite writes no
-    partition for them, so their stale dirs must be removed)."""
-    counts = {int(r["segment_id"]): int(r["n"])
-              for r in docs_kept.groupBy("segment_id")
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
-    (docs_kept.sortWithinPartitions("doc_id")
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("segment_id")
-     .parquet(os.path.join(index_dir, "docs")))
-    return {s for s in affected if counts.get(s, 0) == 0}
-
-
-def _rebuild(spark: SparkSession, index_dir: str, stats: dict,
-             affected_segments: set[int]) -> dict:
-    """Shared tail of delete/upsert: refresh stats, rebuild the waves
-    covering ``affected_segments`` (plus new waves for unmanifested
-    segments), refresh term stats. Untouched waves are never read or
-    written."""
+def _rebuild_waves(spark: SparkSession, index_dir: str, stats: dict,
+                   affected_segments: set[int],
+                   present_segs: set[int]) -> list[int]:
+    """Overwrite the posting waves covering ``affected_segments`` (plus
+    fresh waves for affected segments never manifested — restricted to
+    segments actually present in the docs table, so deleting a doc_id
+    that never existed can't leave a junk empty wave behind). Idempotent:
+    safe to replay after a crash."""
     cfg = _cfg_from_stats(stats)
-    stats = _recompute_stats(spark, index_dir, stats)
     avgdl = float(stats["avgdl"])  # rebuilt waves get a fresh avgdl_ref;
     # untouched waves keep their stale one — bounds stay admissible
     # (with_bounds' corner correction), just marginally less tight
@@ -158,21 +209,118 @@ def _rebuild(spark: SparkSession, index_dir: str, stats: dict,
     manifested = {s for segs in wave_map.values() for s in segs}
 
     docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
-    rebuilt_waves: list[int] = []
+    rebuilt: list[int] = []
     for wkey, segs in sorted(wave_map.items()):
         if affected_segments & set(segs):
             write_wave(spark, docs_df, segs, cfg, avgdl, index_dir, wkey=wkey)
-            rebuilt_waves.append(wkey)
-    new_segs = sorted(s for s in affected_segments if s not in manifested)
-    new_waves = [new_segs[i:i + cfg.wave_segments]
-                 for i in range(0, len(new_segs), cfg.wave_segments)]
-    for wave in new_waves:
+            rebuilt.append(wkey)
+    new_segs = sorted(s for s in affected_segments
+                      if s not in manifested and s in present_segs)
+    for i in range(0, len(new_segs), cfg.wave_segments):
+        wave = new_segs[i:i + cfg.wave_segments]
         write_wave(spark, docs_df, wave, cfg, avgdl, index_dir)
-        rebuilt_waves.append(min(wave))
+        rebuilt.append(min(wave))
+    return sorted(rebuilt)
 
-    _refresh_term_stats(spark, index_dir)
-    return {"rebuilt_waves": sorted(rebuilt_waves),
-            "n_docs": stats["n_docs"]}
+
+def _freeze_old_wave_df(spark: SparkSession, index_dir: str,
+                        wave_keys: list[int]) -> None:
+    """Aggregate (term, df) of the affected waves BEFORE they are
+    overwritten, frozen to a staging parquet (a lazy DataFrame would
+    re-read the overwritten data). Partition-pruned to the wave dirs."""
+    path = os.path.join(index_dir, _TS_OLD_DELTA)
+    if not wave_keys:
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    (spark.read.parquet(os.path.join(index_dir, "postings"))
+     .filter(F.col("wave").isin([int(w) for w in wave_keys]))
+     .groupBy("term").agg(F.sum("df").alias("df_old"))
+     .write.mode("overwrite").parquet(path))
+
+
+def _delta_term_stats(spark: SparkSession, index_dir: str,
+                      wave_keys: list[int]) -> None:
+    """term_stats_new = term_stats − df(affected waves, before) +
+    df(affected waves, after); staged write + atomic swap. Scans only
+    the affected wave dirs and the (vocabulary-sized) term_stats table,
+    never the whole postings tree."""
+    if not wave_keys:
+        return
+    posts = spark.read.parquet(os.path.join(index_dir, "postings"))
+    new_df = (posts.filter(F.col("wave").isin([int(w) for w in wave_keys]))
+              .groupBy("term").agg(F.sum("df").alias("df_new")))
+    old_path = os.path.join(index_dir, _TS_OLD_DELTA)
+    if _success(old_path):
+        old_df = spark.read.parquet(old_path)
+    else:
+        old_df = spark.createDataFrame([], "term string, df_old long")
+    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    merged = (
+        ts.join(old_df, "term", "full").join(new_df, "term", "full")
+        .select("term",
+                (F.coalesce(F.col("df_global"), F.lit(0))
+                 - F.coalesce(F.col("df_old"), F.lit(0))
+                 + F.coalesce(F.col("df_new"), F.lit(0))).alias("df_global"))
+        .filter(F.col("df_global") > 0)
+    )
+    staging = os.path.join(index_dir, _TS_STAGING)
+    merged.write.mode("overwrite").parquet(staging)
+    _apply_dir_ops(index_dir, [
+        {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
+    shutil.rmtree(old_path, ignore_errors=True)
+
+
+def _commit(spark: SparkSession, index_dir: str, stats: dict,
+            ops: list[dict], affected: set[int],
+            present: set[int]) -> dict:
+    """Phase 2 of maintenance: marker -> stats -> docs swap -> frozen
+    old-wave aggregate -> wave rebuild -> delta term stats -> marker
+    removal. A crash anywhere in here is replayed by
+    :func:`recover_pending` from the marker."""
+    marker = os.path.join(index_dir, _PENDING)
+    with open(marker, "w") as fh:
+        json.dump({"ops": ops, "stats": stats,
+                   "affected_segments": sorted(affected),
+                   "present_segments": sorted(present)}, fh)
+    _write_stats(index_dir, stats)
+    _apply_dir_ops(index_dir, ops)
+    shutil.rmtree(os.path.join(index_dir, _DOCS_STAGING), ignore_errors=True)
+
+    wave_map = _wave_map(spark, index_dir)
+    old_keys = [wk for wk, segs in sorted(wave_map.items())
+                if affected & set(segs)]
+    _freeze_old_wave_df(spark, index_dir, old_keys)
+    rebuilt = _rebuild_waves(spark, index_dir, stats, affected, present)
+    _delta_term_stats(spark, index_dir, rebuilt)
+    os.remove(marker)
+    return {"rebuilt_waves": rebuilt, "n_docs": stats["n_docs"]}
+
+
+def _apply_stats_delta(stats: dict, before: tuple[int, int],
+                       after_per_seg: dict[int, dict],
+                       new_max: int | None = None) -> dict:
+    stats = dict(stats)
+    n_after = sum(v["n"] for v in after_per_seg.values())
+    len_after = sum(v["len"] for v in after_per_seg.values())
+    stats["n_docs"] = int(stats["n_docs"]) + n_after - before[0]
+    stats["total_len"] = int(stats["total_len"]) + len_after - before[1]
+    stats["avgdl"] = (stats["total_len"] / stats["n_docs"]
+                      if stats["n_docs"] else 0.0)
+    if new_max is not None:
+        stats["max_doc_id"] = max(int(stats.get("max_doc_id", -1)), new_max)
+    return stats
+
+
+def _max_doc_id(spark: SparkSession, index_dir: str, stats: dict) -> int:
+    """Highest assigned doc_id — from stats when recorded (zero jobs), a
+    one-column agg otherwise (indexes written before the field existed).
+    Kept as a monotone upper bound: deletes never lower it, so fresh ids
+    stay strictly increasing (the reference's AddDoc contract)."""
+    if "max_doc_id" in stats:
+        return int(stats["max_doc_id"])
+    row = (spark.read.parquet(os.path.join(index_dir, "docs"))
+           .agg(F.max("doc_id")).collect()[0])
+    return int(row[0]) if row[0] is not None else -1
 
 
 def _ids_dataframe(spark: SparkSession,
@@ -189,9 +337,9 @@ def delete_docs(spark: SparkSession, index_dir: str,
     index_service/indexer.go:100-124; batch form of kvdb BatchDelete).
 
     Touches only the segment partitions/waves containing victims; the
-    only driver-side data is the distinct affected-segment set.
+    only driver-side data is the affected-segment aggregate rows.
     """
-    _recover(index_dir)
+    recover_pending(spark, index_dir)
     stats = _load_stats(index_dir)
     seg_docs = int(stats["seg_docs"])
     ids_df = _ids_dataframe(spark, doc_ids)
@@ -200,12 +348,14 @@ def delete_docs(spark: SparkSession, index_dir: str,
             .distinct().collect()}
 
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    before = _before_agg(docs, segs)
     affected_docs = docs.filter(
         F.col("segment_id").isin([int(s) for s in segs]))
     kept = affected_docs.join(F.broadcast(ids_df), "doc_id", "left_anti")
-    emptied = _overwrite_affected_docs(kept, segs, index_dir)
-    _remove_seg_dirs(index_dir, emptied)
-    return _rebuild(spark, index_dir, stats, segs)
+    ops, after = _stage_docs(kept, segs, index_dir)
+    new_stats = _apply_stats_delta(stats, before, after)
+    present = {s for s, v in after.items() if v["n"] > 0}
+    return _commit(spark, index_dir, new_stats, ops, segs, present)
 
 
 def upsert_docs(spark: SparkSession, index_dir: str, new_corpus: DataFrame,
@@ -213,37 +363,45 @@ def upsert_docs(spark: SparkSession, index_dir: str, new_corpus: DataFrame,
     """Delete-then-insert upsert (reference: Indexer.AddDoc,
     indexer.go:70-97 — replaced business keys get FRESH, larger doc ids).
 
-    One dynamic-partition-overwrite covers everything: replaced segments
-    are rewritten without their victims, the boundary segment keeps its
-    surviving rows, and new segments appear as fresh partitions.
+    Control-plane jobs are folded into per-segment aggregates: one over
+    the replaced rows (segments + replaced count), one over the prepared
+    new rows (segments + count + max id); the fresh-id base comes from
+    stats.json, not a table scan.
     """
-    _recover(index_dir)
+    recover_pending(spark, index_dir)
     stats = _load_stats(index_dir)
     seg_docs = int(stats["seg_docs"])
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
 
     keys = new_corpus.select(*key_cols).distinct()
     replaced = docs.join(F.broadcast(keys), list(key_cols), "left_semi")
-    n_replaced = replaced.count()
-    start = (docs.agg(F.max("doc_id")).collect()[0][0] or -1) + 1
+    rep_rows = (replaced.groupBy("segment_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    n_replaced = sum(int(r["n"]) for r in rep_rows)
+    start = _max_doc_id(spark, index_dir, stats) + 1
 
     new_docs = prepare_docs(new_corpus, seg_docs,
                             id_col=stats.get("id_col"),
                             start_id=int(start)).cache()
-    n_new = new_docs.count()
-    # affected segments: replaced docs' + new docs' (tiny distinct aggs)
-    segs = {int(r[0]) for r in replaced.select("segment_id").distinct().collect()}
-    segs |= {int(r[0]) for r in new_docs.select("segment_id").distinct().collect()}
+    new_rows = (new_docs.groupBy("segment_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.max("doc_id").alias("mx")).collect())
+    n_new = sum(int(r["n"]) for r in new_rows)
+    new_max = max((int(r["mx"]) for r in new_rows), default=start - 1)
+    segs = {int(r["segment_id"]) for r in rep_rows}
+    segs |= {int(r["segment_id"]) for r in new_rows}
 
+    before = _before_agg(docs, segs)
     affected_docs = docs.filter(F.col("segment_id").isin([int(s) for s in segs]))
     kept = affected_docs.join(F.broadcast(replaced.select("doc_id")),
                               "doc_id", "left_anti")
     merged = kept.unionByName(new_docs.select(*kept.columns))
-    emptied = _overwrite_affected_docs(merged, segs, index_dir)
-    _remove_seg_dirs(index_dir, emptied)
+    ops, after = _stage_docs(merged, segs, index_dir)
     new_docs.unpersist()
+    new_stats = _apply_stats_delta(stats, before, after, new_max=new_max)
+    present = {s for s, v in after.items() if v["n"] > 0}
 
-    res = _rebuild(spark, index_dir, stats, segs)
+    res = _commit(spark, index_dir, new_stats, ops, segs, present)
     res["n_inserted"] = n_new
     res["n_replaced"] = n_replaced
     return res

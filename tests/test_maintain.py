@@ -169,6 +169,60 @@ def test_upsert_docs(spark, index_dir):
     assert bad == 0
 
 
+def test_crash_recovery_completes_maintenance(spark, index_dir):
+    """Two-phase commit: a crash right after the pending marker is
+    written (docs swap, stats, wave rebuild, and term stats all still
+    pending) must be replayed by recover_pending to the exact
+    post-maintenance state."""
+    import json
+    import os
+
+    from quicker_spark.operators import maintain as M
+
+    victims = [3, 7]
+    stats = M._load_stats(index_dir)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    ids_df = M._ids_dataframe(spark, victims)
+    segs = {0}
+    before = M._before_agg(docs, segs)
+    kept = (docs.filter(F.col("segment_id").isin([0]))
+            .join(F.broadcast(ids_df), "doc_id", "left_anti"))
+    ops, after = M._stage_docs(kept, segs, index_dir)
+    new_stats = M._apply_stats_delta(stats, before, after)
+    present = {s for s, v in after.items() if v["n"] > 0}
+    # simulated crash: marker on disk, no live directory touched yet
+    with open(os.path.join(index_dir, M._PENDING), "w") as fh:
+        json.dump({"ops": ops, "stats": new_stats,
+                   "affected_segments": sorted(segs),
+                   "present_segments": sorted(present)}, fh)
+
+    assert M.recover_pending(spark, index_dir)
+    assert not os.path.exists(os.path.join(index_dir, M._PENDING))
+
+    pdf = corpus_pdf(N_DOCS)
+    full = Oracle(pdf)
+    victim_keys = {full.docs[d]["id"] for d in victims}
+    remaining = pdf[~pdf.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}" in victim_keys, axis=1)]
+    _assert_matches_oracle(spark, index_dir, Oracle(remaining))
+
+
+def test_term_stats_delta_equals_full_recompute(spark, index_dir):
+    """The incremental term-stats path (old − affected-before +
+    affected-after) must land on exactly the aggregate a full postings
+    scan produces."""
+    delete_docs(spark, index_dir, [3, 7, 150])
+    upsert_docs(spark, index_dir,
+                spark.createDataFrame(corpus_pdf(5, start=20_000)))
+    ts = spark.read.parquet(index_dir + "/term_stats").alias("ts")
+    full = (spark.read.parquet(index_dir + "/postings")
+            .groupBy("term").agg(F.sum("df").alias("df_full")).alias("fl"))
+    diff = (ts.join(full, "term", "full")
+            .filter(F.coalesce(F.col("ts.df_global"), F.lit(0))
+                    != F.coalesce(F.col("fl.df_full"), F.lit(0))))
+    assert diff.count() == 0, diff.limit(5).collect()
+
+
 def test_upsert_zebra_searchable(spark, index_dir):
     """Re-added content is immediately searchable (indexer_test.go:119-185
     delete -> re-add -> search cycle)."""
