@@ -54,3 +54,42 @@ def write_corpus(df: DataFrame, location: str, mode: str = "overwrite") -> None:
         df.writeTo(location).append()
     else:
         df.writeTo(location).createOrReplace()
+
+
+def apply_dir_ops(base_dir: str, ops: list[dict]) -> None:
+    """Physical commit of partition replacements on the PATH layout:
+    ``{"op": "swap", "src": rel, "dst": rel}`` renames a staged directory
+    over the live one; ``{"op": "drop", "dst": rel}`` removes an emptied
+    partition. Idempotent — a swap whose staging source is already gone
+    was completed by a previous run, so maintenance recovery can replay
+    the same op list after a crash.
+
+    This is the format seam maintenance commits through: on a deployment
+    with the Iceberg runtime the same logical operation is ONE
+    snapshot commit — :func:`overwrite_docs_partitions` — instead of
+    per-directory renames (which are only atomic per directory on a
+    local/HDFS filesystem; object stores and multi-partition atomicity
+    need the table format)."""
+    import os
+    import shutil
+
+    for op in ops:
+        dst = os.path.join(base_dir, op["dst"])
+        if op["op"] == "swap":
+            src = os.path.join(base_dir, op["src"])
+            if os.path.isdir(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+        elif op["op"] == "drop":
+            shutil.rmtree(dst, ignore_errors=True)
+
+
+def overwrite_docs_partitions(df: DataFrame, table: str) -> None:
+    """Catalog-table (Iceberg) form of the maintenance docs commit: one
+    ``overwritePartitions`` snapshot replaces exactly the partitions
+    present in ``df`` (Iceberg's dynamic partition overwrite) —
+    atomically across every affected segment, which the path layout's
+    per-directory rename cannot guarantee. ``df`` must carry the
+    ``segment_id`` partition column. Exercised by the skip-if-no-jars
+    integration test (tests/test_iceberg_seam.py)."""
+    df.writeTo(table).overwritePartitions()

@@ -306,15 +306,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         # doc ranges are contiguous per task, so each task emits few dirs.
         # At 10^12 docs size seg_docs so the dir count stays sane (or swap
         # the seam to Iceberg, where MERGE replaces dir-level overwrite).
-        (docs.sortWithinPartitions("doc_id")
+        # Corpus stats ride the write job as an Observation — no post-write
+        # re-read of the whole docs table.
+        from pyspark.sql import Observation
+
+        obs = Observation("docs_stats")
+        (docs.observe(obs, F.count(F.lit(1)).alias("n"),
+                      F.sum("doc_len").alias("total"),
+                      F.max("doc_id").alias("mx"))
+             .sortWithinPartitions("doc_id")
              .write.partitionBy("segment_id")
              .mode("overwrite").parquet(docs_path))
         prep_phases["docs_write"] = time.time() - t_write
         t_agg = time.time()
-        agg = spark.read.parquet(docs_path).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total"),
-            F.max("doc_id").alias("mx")
-        ).collect()[0]
+        agg = obs.get
         stats = {
             "n_docs": int(agg["n"]), "total_len": int(agg["total"] or 0),
             "max_doc_id": int(agg["mx"]) if agg["mx"] is not None else -1,

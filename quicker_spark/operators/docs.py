@@ -68,16 +68,16 @@ def assign_doc_ids(df: DataFrame, key_cols=DOC_KEY_COLS,
     # plan is embedded under a union/join, which would silently misalign
     # every offset. Range partitions are disjoint in _h, so the first key
     # identifies a partition in any later job over the same cache.
-    def part_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        first_h, n = None, 0
-        for pdf in batches:
-            if len(pdf) and first_h is None:
-                first_h = pdf["_h"].iloc[0]
-            n += len(pdf)
-        if n:
-            yield pd.DataFrame({"first_h": [first_h], "n": [n]})
-
-    stats = parted.mapInPandas(part_stats, "first_h string, n long").collect()
+    # (spark_partition_id is only the GROUP KEY within this one job — the
+    # collected rows are matched to partitions by first_h, so later-job
+    # renumbering cannot bite.) Pure-JVM aggregate with map-side combine:
+    # one row per partition enters the shuffle, and the full-width corpus
+    # rows never cross the Arrow boundary just to be counted — that pass
+    # was a fixed multi-second cost in the build's prepare phase.
+    stats = (parted.groupBy(F.spark_partition_id().alias("_pid"))
+             .agg(F.min("_h").alias("first_h"),
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
     keyed.unpersist()
     offsets: dict[str, int] = {}
     acc = 0

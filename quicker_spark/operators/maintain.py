@@ -56,6 +56,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quicker_spark.io import apply_dir_ops
 from quicker_spark.operators.build import IndexConfig, write_wave
 from quicker_spark.operators.docs import DOC_KEY_COLS, prepare_docs
 
@@ -92,18 +93,10 @@ def _success(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _apply_dir_ops(index_dir: str, ops: list[dict]) -> None:
-    """Execute swap/drop directory operations (idempotent: a swap whose
-    staging source is already gone was completed by a previous run)."""
-    for op in ops:
-        dst = os.path.join(index_dir, op["dst"])
-        if op["op"] == "swap":
-            src = os.path.join(index_dir, op["src"])
-            if os.path.isdir(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.rename(src, dst)
-        elif op["op"] == "drop":
-            shutil.rmtree(dst, ignore_errors=True)
+# the physical commit goes through the io format seam: path layout =
+# staged directory swaps; Iceberg layout = one overwritePartitions
+# snapshot (io.overwrite_docs_partitions)
+_apply_dir_ops = apply_dir_ops
 
 
 def recover_pending(spark: SparkSession, index_dir: str) -> bool:

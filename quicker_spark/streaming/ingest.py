@@ -4,42 +4,121 @@ The reference has no streaming path — ingest is batch CSV plus point
 AddDoc upserts over gRPC (reference: demo/job/build_index.go:23-102,
 index_service/sentinel.go:88-103; SURVEY.md §2.5 documents the absence).
 This is the Spark-native equivalent: a ``readStream`` source feeds
-``foreachBatch``, and every micro-batch applies the same delete-then-
+``foreachBatch``, and every generation applies the same delete-then-
 insert upsert contract the reference's AddDoc has (fresh larger ids for
 replaced business keys) via :func:`quicker_spark.operators.maintain.
 upsert_docs`. The streaming checkpoint gives exactly-once batch replay;
 the index's own wave manifests make the upsert idempotent per batch.
 
-At scale you would buffer several micro-batches into a staging
-generation and compact on a cadence instead of rebuilding affected waves
-per batch — the wave-granular rebuild keeps per-batch cost proportional
-to touched segments either way.
+Compaction cadence: with ``compact_every=N`` micro-batches accumulate in
+a STAGING GENERATION (appended parquet next to the index) and the index
+is compacted — one upsert of the whole deduplicated generation — every N
+batches, so the affected-wave rebuild cost is paid once per generation
+instead of once per micro-batch (the amortization a high-rate stream
+needs; per-batch rebuild is the N=1 special case). Batches within a
+generation resolve by latest-batch-wins on the business key; a replayed
+batch (foreachBatch is at-least-once) appends identical rows that the
+same dedupe collapses, so crash-replay converges. A drained stream may
+leave a partial generation behind — :func:`flush_ingest` compacts the
+tail.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from quicker_spark.operators.build import IndexConfig, build_index
-from quicker_spark.operators.docs import DOC_KEY_COLS
+from quicker_spark.operators.docs import DOC_KEY_COLS, dedupe_latest
 from quicker_spark.operators.maintain import upsert_docs
+
+_BATCH_COL = "_batch_id"
 
 
 def index_exists(index_dir: str) -> bool:
     return os.path.exists(os.path.join(index_dir, "stats.json"))
 
 
+def _staging_dir(index_dir: str) -> str:
+    # sibling path: a bootstrap build may wipe index_dir on a stale-format
+    # checkpoint, which must never destroy staged-but-uncompacted batches
+    return index_dir.rstrip("/") + "_ingest_staging"
+
+
+def _events_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "_ingest_events.jsonl"
+
+
+def _staged_batches(staging: str) -> set[int]:
+    meta = os.path.join(staging, "_staged_batches.json")
+    if not os.path.exists(meta):
+        return set()
+    with open(meta) as fh:
+        return set(json.load(fh))
+
+
+def _record_batch(staging: str, batch_id: int) -> set[int]:
+    staged = _staged_batches(staging) | {int(batch_id)}
+    with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
+        json.dump(sorted(staged), fh)
+    return staged
+
+
+def _log_event(index_dir: str, event: dict) -> None:
+    with open(_events_path(index_dir), "a") as fh:
+        fh.write(json.dumps(event) + "\n")
+
+
+def _apply_generation(spark: SparkSession, gen_df: DataFrame, index_dir: str,
+                      cfg: IndexConfig, key_cols, kind: str) -> None:
+    if not index_exists(index_dir):
+        build_index(spark, gen_df, index_dir, cfg, resume=False)
+        _log_event(index_dir, {"kind": "bootstrap", "via": kind})
+    else:
+        upsert_docs(spark, index_dir, gen_df, key_cols=key_cols)
+        _log_event(index_dir, {"kind": "upsert", "via": kind})
+
+
+def _compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
+             key_cols) -> bool:
+    """Dedupe the staged generation (latest batch wins per business key)
+    and apply it as ONE index mutation; returns False when nothing is
+    staged."""
+    staging = _staging_dir(index_dir)
+    if not _staged_batches(staging):
+        return False
+    gen = spark.read.parquet(staging)
+    gen = dedupe_latest(gen, key_cols, order_col=_BATCH_COL).drop(_BATCH_COL)
+    _apply_generation(spark, gen, index_dir, cfg, key_cols, "compaction")
+    shutil.rmtree(staging, ignore_errors=True)
+    return True
+
+
+def flush_ingest(spark: SparkSession, index_dir: str,
+                 cfg: IndexConfig | None = None,
+                 key_cols=DOC_KEY_COLS) -> bool:
+    """Compact a partial staged generation left behind by a drained
+    stream (e.g. ``availableNow`` runs whose batch count is not a
+    multiple of ``compact_every``). Returns True if a compaction ran."""
+    return _compact(spark, index_dir, cfg or IndexConfig(), key_cols)
+
+
 def stream_ingest(spark: SparkSession, source: DataFrame, index_dir: str,
                   checkpoint_dir: str, cfg: IndexConfig | None = None,
-                  key_cols=DOC_KEY_COLS, available_now: bool = True):
+                  key_cols=DOC_KEY_COLS, available_now: bool = True,
+                  compact_every: int = 1):
     """Start a streaming query that maintains the index under
     ``index_dir`` from a streaming corpus source.
 
     ``source`` is a streaming DataFrame with the corpus schema
-    (repo, path, commit, lang, content). The first non-empty batch
-    bootstraps the index with a full build; later batches upsert.
+    (repo, path, commit, lang, content). The first applied generation
+    bootstraps the index with a full build; later generations upsert.
+    ``compact_every=N`` batches per staged generation (see module
+    docstring); N=1 applies every micro-batch directly.
     ``available_now=True`` drains what's currently available and stops
     (the testable batch-ish mode); False runs continuously.
     """
@@ -49,10 +128,16 @@ def stream_ingest(spark: SparkSession, source: DataFrame, index_dir: str,
         batch_df = batch_df.dropDuplicates(list(key_cols))
         if batch_df.isEmpty():
             return
-        if not index_exists(index_dir):
-            build_index(spark, batch_df, index_dir, cfg, resume=False)
-        else:
-            upsert_docs(spark, index_dir, batch_df, key_cols=key_cols)
+        if compact_every <= 1:
+            _apply_generation(spark, batch_df, index_dir, cfg, key_cols,
+                              "batch")
+            return
+        staging = _staging_dir(index_dir)
+        (batch_df.withColumn(_BATCH_COL, F.lit(int(batch_id)))
+         .write.mode("append").parquet(staging))
+        staged = _record_batch(staging, batch_id)
+        if len(staged) >= compact_every:
+            _compact(spark, index_dir, cfg, key_cols)
 
     writer = (
         source.writeStream

@@ -60,6 +60,62 @@ def test_stream_bootstrap_then_upsert(spark, dirs):
     assert SearchEngine(spark, dirs["idx"]).count() == 180
 
 
+def test_stream_compaction_cadence(spark, dirs):
+    """compact_every=N: four micro-batches must trigger only two index
+    mutations (one bootstrap, one upsert) — the staged-generation
+    amortization — and a trailing partial generation is applied by
+    flush_ingest. Final state equals the same data ingested any other
+    way (latest batch wins per business key)."""
+    import json
+
+    import pandas as pd
+
+    from quicker_spark.streaming.ingest import flush_ingest
+
+    batches = [
+        corpus_pdf(60),                      # bootstrap half
+        corpus_pdf(40, start=1000),          # second half of gen 1
+        corpus_pdf(20, start=2000),          # gen 2
+        corpus_pdf(150).iloc[[3]].assign(content="compactedzebra"),
+    ]
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode(
+            "append").parquet(dirs["src"])
+
+    src = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(dirs["src"]))
+    cfg = IndexConfig(seg_docs=200, n_salts=4)
+    q = stream_ingest(spark, src, dirs["idx"], dirs["ckpt"], cfg,
+                      compact_every=2)
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    events_path = dirs["idx"] + "_ingest_events.jsonl"
+    events = [json.loads(ln) for ln in open(events_path)]
+    assert len(events) == 2 < len(batches)  # wave rebuilds << batches
+    assert events[0]["kind"] == "bootstrap"
+    assert events[1]["kind"] == "upsert"
+
+    eng = SearchEngine(spark, dirs["idx"])
+    assert eng.count() == 60 + 40 + 20  # batch 4 only replaces a batch-1 doc
+
+    # tail generation: one more file -> staged but not compacted
+    spark.createDataFrame(corpus_pdf(10, start=3000)).coalesce(1)\
+        .write.mode("append").parquet(dirs["src"])
+    src2 = (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(dirs["src"]))
+    q2 = stream_ingest(spark, src2, dirs["idx"], dirs["ckpt"], cfg,
+                       compact_every=2)
+    q2.awaitTermination(240)
+    assert SearchEngine(spark, dirs["idx"]).count() == 120  # not yet applied
+    assert flush_ingest(spark, dirs["idx"], cfg)
+    assert SearchEngine(spark, dirs["idx"]).count() == 130
+
+    hits = SearchEngine(spark, dirs["idx"]).search(
+        NewTermQuery("content", "compactedzebra"), k=5).collect()
+    assert len(hits) == 1
+
+
 def test_io_seam(spark, tmp_path):
     """Format selection: paths -> parquet; identifiers -> catalog tables;
     Iceberg runtime detection is honest about this sandbox."""
