@@ -170,29 +170,34 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """(id, simhash): ``bits``-wide SimHash over the doc's distinct terms.
 
-    Bit j is set when sum over terms of (2*((h(term)>>j)&1) - 1) > 0.
-    ONE groupBy(doc) pass with ``bits`` conditional sums — the bit fan-out
-    happens inside the aggregation expressions, not as exploded rows, so
-    the shuffle carries one row per (doc, term) instead of ``bits``x that
-    (same result, shuffle rows / 16 at bits=16).
+    Bit j is set when the majority of term hashes have bit j set
+    (equivalently: sum over terms of (2*((h(term)>>j)&1) - 1) > 0).
+
+    ZERO-SHUFFLE plan: SimHash is a pure per-row function, so the term
+    hashes are built once per row as an array (``transform`` over the
+    distinct tokens — an intermediate projection keeps the md5 pass
+    single-evaluation; inlining it into all ``bits`` consumers would
+    re-tokenize+re-hash the doc 17x) and each output bit is a
+    higher-order ``filter``+``size`` majority vote over that array. The
+    round-2 formulation shuffled one row per (doc, term) into a 16-sum
+    aggregation plus a rejoin for token-less docs; shuffling tokens to
+    compute a row-local function is pure waste at corpus scale — this
+    plan is a single embarrassingly-parallel map stage (plan-asserted:
+    no Exchange).
     """
-    terms = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("t")
-    ).withColumn("h", md5_long(F.col("t")))
-    bitsums = terms.groupBy(id_col).agg(*[
-        F.sum(F.expr(f"2 * ((h >> {j}) & 1) - 1")).alias(f"v_{j}")
-        for j in range(bits)
-    ])
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokenize_col(F.col(text_col))),
+                    md5_long).alias("hs"))
+    hs = F.col("hs")
+    n = F.size(hs)
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        sim = sim + F.when(F.col(f"v_{j}") > 0,
+        ones = F.size(F.filter(
+            hs, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1))
+        sim = sim + F.when(ones * 2 > n,
                            F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    hashed = bitsums.select(F.col(id_col), sim.alias("simhash"))
-    return (
-        df.select(id_col)
-        .join(hashed, id_col, "left")
-        .select(id_col, F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
-    )
+    return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
 # -- text analysis -------------------------------------------------------------

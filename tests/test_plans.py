@@ -106,6 +106,21 @@ def test_jaccard_window_is_equi_join(spark):
             or "BroadcastHashJoin" in plan)
 
 
+def test_simhash_is_shuffle_free(spark):
+    """SimHash is a pure per-row function — its plan must be a single
+    map stage with no Exchange (the round-2 formulation shuffled one row
+    per (doc, term), pure waste at corpus scale)."""
+    from quicker_spark.operators.textops import simhash
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}") for i in range(20)],
+        "doc_id long, text string")
+    plan = _plan(simhash(df, bits=16))
+    assert "Exchange" not in plan
+    # the md5 term-hash pass is evaluated once, not once per output bit
+    assert plan.count("md5") == 1
+
+
 def test_lsh_candidates_is_equi_join(spark):
     """LSH band candidate generation must also stay an equi-join."""
     from quicker_spark.operators.textops import (
