@@ -262,25 +262,38 @@ class SearchEngine:
             .applyInPandas(kern, "doc_id long")
             .orderBy("doc_id")
         )
-        return self.hydrate(out) if hydrate else out
+        return self.hydrate_join(out) if hydrate else out
+
+    _PAYLOAD_COLS = ("doc_id", "id", "repo", "path", "commit", "lang",
+                     "doc_sha")
 
     def hydrate(self, hits: DataFrame) -> DataFrame:
-        """Forward-index point lookup (reference: BatchGet + decode,
-        indexer.go:126-157). The hits are materialized first — they are
-        post-limit, so this is a control-plane-sized collect, the same k
-        keys the reference hands to BatchGet (kv_db.go:27) — and their
-        segment set + id list prune the docs scan exactly like
-        :meth:`lookup` (partition directories, then row groups). Without
-        the pruning a broadcast-hash join still READS every docs
-        partition: at 10^12 docs that is a full forward-index scan to
-        fetch k payloads."""
+        """Forward-index point lookup for POST-LIMIT hits (reference:
+        BatchGet + decode, indexer.go:126-157). The hits are materialized
+        first — they are k rows, so this is a control-plane-sized
+        collect, the same k keys the reference hands to BatchGet
+        (kv_db.go:27) — and their segment set + id list prune the docs
+        scan exactly like :meth:`lookup` (partition directories, then
+        row groups). Without the pruning a broadcast-hash join still
+        READS every docs partition: at 10^12 docs that is a full
+        forward-index scan to fetch k payloads. For unbounded hit sets
+        (boolean search) use :meth:`hydrate_join` — collecting those
+        would put data-sized results on the driver."""
         rows = hits.collect()
         hits_local = (self.spark.createDataFrame(rows, hits.schema)
                       if rows else hits.limit(0))
         ids = [int(r["doc_id"]) for r in rows]
-        payload = self.lookup(ids).select(
-            "doc_id", "id", "repo", "path", "commit", "lang", "doc_sha")
+        payload = self.lookup(ids).select(*self._PAYLOAD_COLS)
         return F.broadcast(hits_local).join(payload, "doc_id", "inner")
+
+    def hydrate_join(self, hits: DataFrame) -> DataFrame:
+        """Lazy hydration for UNBOUNDED hit sets (all boolean matches —
+        the reference hydrates every match, indexer.go:126-157): a plain
+        distributed join against the forward index, nothing collected.
+        Hits stay executor-side; Spark picks broadcast vs shuffle join
+        from its own size estimate."""
+        return hits.join(self.docs.select(*self._PAYLOAD_COLS),
+                         "doc_id", "inner")
 
     def _empty_hits(self, hydrate: bool) -> DataFrame:
         df = self.spark.createDataFrame([], "doc_id long, score double")
@@ -288,4 +301,4 @@ class SearchEngine:
 
     def _empty_bool(self, hydrate: bool) -> DataFrame:
         df = self.spark.createDataFrame([], "doc_id long")
-        return self.hydrate(df) if hydrate else df
+        return self.hydrate_join(df) if hydrate else df

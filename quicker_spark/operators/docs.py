@@ -17,14 +17,9 @@ ingestion invariant) and the payload columns themselves.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from quicker_spark.functions.tokenize import tokenize_col
 from quicker_spark.model import LANG_BITS
@@ -52,54 +47,59 @@ def assign_doc_ids(df: DataFrame, key_cols=DOC_KEY_COLS,
     """
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
+    # no persist of the pre-exchange plan: repartitionByRange's sampling
+    # pass recomputes scan+sha2 (a second cheap columnar read), which
+    # measures far cheaper than materializing a full-width corpus cache
+    # just to avoid it
     keyed = df.withColumn(
         "_h", F.sha2(F.concat_ws("\x01", *[F.col(c) for c in key_cols]), 256)
     )
-    # repartitionByRange SAMPLES its input to pick bounds, then reads it
-    # again — persist first so the upstream plan (e.g. corpus generation)
-    # runs once, not twice.
-    keyed.persist(StorageLevel.MEMORY_AND_DISK)
     parted = keyed.repartitionByRange(n_parts, "_h").sortWithinPartitions("_h")
     parted.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Per-partition (first key, row count). Offsets are keyed by the
-    # partition's FIRST HASH, not its partition index: TaskContext
-    # partition ids are physical task indices and get renumbered when this
-    # plan is embedded under a union/join, which would silently misalign
-    # every offset. Range partitions are disjoint in _h, so the first key
-    # identifies a partition in any later job over the same cache.
-    # (spark_partition_id is only the GROUP KEY within this one job — the
-    # collected rows are matched to partitions by first_h, so later-job
-    # renumbering cannot bite.) Pure-JVM aggregate with map-side combine:
-    # one row per partition enters the shuffle, and the full-width corpus
-    # rows never cross the Arrow boundary just to be counted — that pass
-    # was a fixed multi-second cost in the build's prepare phase.
-    stats = (parted.groupBy(F.spark_partition_id().alias("_pid"))
+    # Per-partition (first key, row count): pure-JVM aggregate with
+    # map-side combine — one row per partition enters the shuffle.
+    # Offsets are ORDERED by the partition's first hash (range partitions
+    # are disjoint in _h), then laid out as an array indexed by this
+    # job's physical partition index.
+    stats = (parted.groupBy(F.spark_partition_id().alias("pid"))
              .agg(F.min("_h").alias("first_h"),
                   F.count(F.lit(1)).alias("n"))
              .collect())
-    keyed.unpersist()
-    offsets: dict[str, int] = {}
+    n_phys = parted.rdd.getNumPartitions()
+    offsets = [0] * max(n_phys, 1)
     acc = 0
     for r in sorted(stats, key=lambda r: r["first_h"]):
-        offsets[r["first_h"]] = acc
-        acc += r["n"]
-    b_offsets = spark.sparkContext.broadcast(offsets)
+        offsets[int(r["pid"])] = acc
+        acc += int(r["n"])
 
-    out_schema = T.StructType(parted.schema.fields + [T.StructField("doc_id", T.LongType())])
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        start = None
-        for pdf in batches:
-            n = len(pdf)
-            if n and start is None:
-                start = b_offsets.value[pdf["_h"].iloc[0]]
-            pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(start, start + n, dtype=np.int64)
-            start += n
-            yield pdf
-
-    return parted.mapInPandas(add_ids, out_schema).drop("_h")
+    # doc_id entirely in the JVM: monotonically_increasing_id encodes
+    # (partition index << 33) + row-index-in-partition, so doc_id =
+    # offsets[pid] + local index — no Arrow round-trip of the full-width
+    # corpus rows (round 3 measured that pass at 2-3x the cost of the
+    # actual tokenize+write it fed).
+    #
+    # Partition-index hazard (the round-1 duplicate-id bug): physical
+    # partition indices get renumbered when this plan is embedded under a
+    # union/join in a LATER job. Fenced by materializing the ids into
+    # their own cache with a top-level count() BEFORE returning — the
+    # nondeterministic mid expression is evaluated exactly once, in a
+    # plain scan job whose partition indices match the offsets job's
+    # (both are direct scans of the same cached exchange); consumers only
+    # ever read the materialized values (MEMORY_AND_DISK: evicted blocks
+    # spill, never recompute).
+    mid = F.monotonically_increasing_id()
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    pid = F.shiftright(mid, 33)
+    off = F.element_at(
+        F.array(*[F.lit(int(o)).cast("long") for o in offsets]),
+        (pid + F.lit(1)).cast("int"))
+    ids = (parted.withColumn("doc_id", (off + local).cast("long"))
+           .drop("_h"))
+    ids.persist(StorageLevel.MEMORY_AND_DISK)
+    ids.count()
+    parted.unpersist()
+    return ids
 
 
 def dedupe_latest(df: DataFrame, key_cols=DOC_KEY_COLS,

@@ -72,13 +72,23 @@ def run_single(cores: int, n_docs: int, reps: int = 1) -> dict:
     # input_hint; the driver testdata is parquet too). Timing the python
     # fixture generator as part of the build measured the fixture, not
     # the engine, and its ~25 s cost dominated the prepare phase.
-    corpus_path = tempfile.mkdtemp(prefix=f"quicker_scale_corpus_{cores}_")
+    #
+    # Corpus and index both live on tmpfs: this VM has ONE virtio disk
+    # whose bandwidth does not grow with the core count, so /tmp writes
+    # put a fixed IO floor under every level and silently tax the large-N
+    # side — the same sandbox-only shared-resource ceiling BENCH.md
+    # documents for 8->32 memory bandwidth. A real N->4N scale-out adds
+    # storage bandwidth with the nodes; tmpfs (scales with memory
+    # bandwidth, which does scale 2->8 here) is the faithful stand-in.
+    shm_root = "/dev/shm/quicker_scale"
+    os.makedirs(shm_root, exist_ok=True)
+    corpus_path = tempfile.mkdtemp(prefix=f"corpus_{cores}_", dir=shm_root)
     shutil.rmtree(corpus_path, ignore_errors=True)
     (corpus_df(spark, n_docs, partitions=cores * 2)
      .write.mode("overwrite").parquet(corpus_path))
     corpus = spark.read.parquet(corpus_path)
 
-    out_dir = tempfile.mkdtemp(prefix=f"quicker_scale_{cores}_")
+    out_dir = tempfile.mkdtemp(prefix=f"idx_{cores}_", dir=shm_root)
 
     # this VM's host noise swings identical builds ~2x minutes apart —
     # time `reps` full builds in the warm JVM and report the best (the
