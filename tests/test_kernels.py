@@ -152,6 +152,59 @@ def test_wand_matches_exhaustive_with_flags(seed):
         np.testing.assert_allclose(w_scores, e_scores, atol=1e-9)
 
 
+def test_wand_interval_edges():
+    """Adversarial inputs for the interval walk: doc ids landing exactly
+    on shared block boundaries, a 1-posting term whose single block spans
+    the whole range, and k exceeding the candidate count."""
+    avgdl = 100.0
+    cases = []
+    # ids exactly at multiples of the block size; two terms share
+    # boundaries, one term has a single posting mid-range
+    a = np.arange(0, 64, 4, dtype=np.int64)          # 16 ids, blocks of 4
+    b = np.arange(0, 64, 8, dtype=np.int64)
+    c = np.array([33], dtype=np.int64)
+    for term, ids in (("\x01a", a), ("\x01b", b), ("\x01c", c)):
+        tfs = (ids % 7 + 1).astype(np.int64)
+        dls = (ids % 50 + 30).astype(np.int64)
+        bits = np.zeros(len(ids), dtype=np.int64)
+        cases.append((term, ids, tfs, dls, bits))
+    postings = {t: encode_postings(i, tf, dl, bt, avgdl * 0.8, block_size=4)
+                .with_bounds(avgdl)
+                for t, i, tf, dl, bt in cases}
+    decoded = {t: (i, tf, dl, bt) for t, i, tf, dl, bt in cases}
+    idf = {t: bm25_idf(100, len(i)) for t, i, _tf, _dl, _bt in cases}
+    q_or = {"should": [{"keyword": {"field": "", "word": t[1:]}}
+                       for t in postings]}
+    q_and = {"must": [{"keyword": {"field": "", "word": t[1:]}}
+                      for t in postings]}
+    for k in (1, 3, 10, 1000):  # 1000 >> candidate count
+        e = score_segment_exhaustive(q_or, decoded, idf, avgdl, k)
+        w = score_segment_wand(postings, idf, avgdl, k)
+        np.testing.assert_array_equal(w[0], e[0])
+        np.testing.assert_array_equal(w[1], e[1])
+        from quicker_spark.functions.kernels import score_segment_conjunctive
+        ea = score_segment_exhaustive(q_and, decoded, idf, avgdl, k)
+        ca = score_segment_conjunctive(postings, idf, avgdl, k)
+        np.testing.assert_array_equal(ca[0], ea[0])
+        np.testing.assert_array_equal(ca[1], ea[1])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_wand_many_terms_many_intervals(seed):
+    """Stress the interval machinery: 12 terms, block_size 4 -> hundreds
+    of interleaved boundaries, with bit filters and avgdl drift."""
+    rng = np.random.RandomState(500 + seed)
+    postings, decoded, idf = _random_segment(rng, n_docs=800, n_terms=12)
+    query = {"should": [{"keyword": {"field": "content",
+                                     "word": t.split("\x01")[1]}}
+                        for t in decoded]}
+    e = score_segment_exhaustive(query, decoded, idf, 100.0, 20,
+                                 on=1, or_flags=(2,))
+    w = score_segment_wand(postings, idf, 100.0, 20, on=1, or_flags=(2,))
+    np.testing.assert_array_equal(w[0], e[0])
+    np.testing.assert_allclose(w[1], e[1], atol=1e-9)
+
+
 def test_exhaustive_must_semantics():
     rng = np.random.RandomState(3)
     _, decoded, idf = _random_segment(rng, n_terms=3)
