@@ -70,6 +70,15 @@ def main() -> None:
     corpus = dq.corpus_df(spark, sf_dir)
     cfg = IndexConfig(fields=dq.DRIVER_FIELDS, id_col="biz_id",
                       seg_docs=dq.DRIVER_SEG_DOCS)
+    # untimed warm-up: a small build in the same JVM (JIT + codegen +
+    # python worker pool) so index_build measures steady-state engine
+    # throughput, not first-job JVM warm-up (same protocol as
+    # scripts/scaling_bench.py; at the 5k-doc driver corpus cold-start
+    # was ~half the measured time and pure noise between rounds)
+    warm_dir = tempfile.mkdtemp(prefix="quicker_bench_warm_")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, corpus.limit(500), warm_dir, cfg, resume=False)
+    shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     report = build_index(spark, corpus, out_dir, cfg, resume=False)
     timings["index_build"] = time.time() - t0
