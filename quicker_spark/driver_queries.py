@@ -378,6 +378,32 @@ def q_bm25_and_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+BATCH_QUERIES = {
+    "or3": BM25_TERMS,          # flat OR (wand-shaped)
+    "and2": AND_TERMS,          # flat AND (conj-shaped)
+    "or2": ("merge", "spark"),  # second OR batchmate
+}
+
+
+def q_bm25_batch_top10(spark, sf_dir):
+    """Batch serving (D1 at cluster shape): THREE queries — two flat ORs
+    and a flat AND — answered by ONE Spark job over ONE shared postings
+    scan (`SearchEngine.search_many`). Each query runs the exact
+    single-query per-segment code path, so every (qid, doc_id, score)
+    row must hash-match the per-query BM25 oracle — certifying that the
+    batch optimization never changes semantics (reference analog:
+    concurrent RPCs multiplexed over one resident index,
+    index_service/sentinel.go:137-187)."""
+    eng = get_engine(spark, sf_dir)
+    qs = {
+        qid: (And if qid.startswith("and") else Or)(
+            *[NewTermQuery("content", t) for t in terms])
+        for qid, terms in BATCH_QUERIES.items()
+    }
+    hits = eng.search_many(qs, k=10)
+    return hits.select("qid", "doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_delete_then_search(spark, sf_dir):
     """S5/B3/B4/D3 lifecycle: delete -> re-query. Scores must equal BM25
     over the corpus WITHOUT the victims (stats + idf refreshed), proving
@@ -573,6 +599,7 @@ QUERIES = {
     "bm25_top10_wand": q_bm25_top10_wand,
     "bm25_top10_taat": q_bm25_top10_taat,
     "bm25_and_top10": q_bm25_and_top10,
+    "bm25_batch_top10": q_bm25_batch_top10,
     "delete_then_search": q_delete_then_search,
     "upsert_then_search": q_upsert_then_search,
     "resume_decode": q_resume_decode,
@@ -627,6 +654,15 @@ ORACLE_SQL = {
     "bm25_top10_wand": SQL_BM25_TOP10,
     "bm25_top10_taat": SQL_BM25_TOP10,
     "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
+    "bm25_batch_top10": " UNION ALL ".join(
+        "SELECT * FROM ({q}) AS b_{qid}".format(
+            qid=qid,
+            q=sql_bm25_topk(
+                terms, require_all=qid.startswith("and"),
+                project=(f"SELECT '{qid}' AS qid, doc_id, "
+                         "round(score * 10000.0)::bigint AS score_x4 "
+                         "FROM scores ORDER BY score DESC, doc_id LIMIT 10")))
+        for qid, terms in BATCH_QUERIES.items()),
     "delete_then_search": sql_bm25_topk(
         base=f"{SQL_DOCS_BASE} WHERE doc_id NOT IN {SQL_DEL_IDS_IN}"),
     "upsert_then_search": sql_bm25_topk(UPSERT_TERMS,

@@ -71,6 +71,85 @@ def _is_flat_and(q: TermQuery) -> bool:
     return bool(q.must) and all(c.keyword for c in q.must)
 
 
+def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
+                        n_query_terms: int, n_docs: int, avgdl: float,
+                        k: int, on: int, off: int, or_flags: tuple,
+                        k1: float, b: float, block_size: int,
+                        enc_cache: dict | None = None,
+                        dec_cache: dict | None = None):
+    """Score ONE query against one segment's posting rows (``pdf``: one
+    row per query term present in the segment) -> (doc_ids, scores).
+
+    This is the shared per-segment body of the single-query and batch
+    kernels — batch serving is rank-identical to issuing the queries
+    one at a time because both run exactly this code per query. The
+    optional caches let a batch kernel share decoded/encoded posting
+    runs between queries that reuse a term (decode once per segment,
+    not once per query).
+
+    strategy: 'wand' (flat OR, block-max pruned), 'conj' (flat AND,
+    skip-pointer intersection + block-max pruned), 'taat' (any tree,
+    exhaustive decode), 'wand_auto'/'conj_auto' (cost-based: fall back
+    to TAAT when >= 2 query terms are dense)."""
+    strat = strategy
+    if strat in ("wand_auto", "conj_auto"):
+        # Cost-based choice, the same call an optimizer makes from
+        # stats: the pruned scorers walk block INTERVALS (vectorized
+        # mini-TAAT per passing interval, kernels.py), which pays off
+        # only when the block-max bound can skip most intervals. With
+        # >= 2 DENSE low-idf terms the candidate stream is nearly the
+        # whole segment and scores are flat, so pruning collapses and
+        # the single-pass exhaustive decode still wins (measured
+        # ~30ms TAAT vs ~150ms interval walk on a dense 150k-doc
+        # segment — down from 4.9s with round 2's per-doc pivot walk).
+        dense = sum(1 for _, r in pdf.iterrows()
+                    if int(r["df_global"]) * 20 > n_docs)
+        strat = "taat" if dense >= 2 else strat[:4]
+    _e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if len(pdf) == 0:
+        return _e
+    if strategy.startswith("conj") and len(pdf) < n_query_terms:
+        # a query term has no postings in this segment: the
+        # intersection is empty here (reference early-exit,
+        # skiplist_reverse_index.go:88-90)
+        return _e
+    idf = {
+        r["term"]: bm25_idf(n_docs, int(r["df_global"]))
+        for _, r in pdf.iterrows()
+    }
+
+    def encoded(r) -> EncodedPostings:
+        if enc_cache is None:
+            return _row_to_encoded(r, block_size)
+        e = enc_cache.get(r["term"])
+        if e is None:
+            e = enc_cache[r["term"]] = _row_to_encoded(r, block_size)
+        return e
+
+    if strat in ("wand", "conj"):
+        # with_bounds is idempotent at fixed avgdl (and a no-op re-store
+        # when avgdl == avgdl_ref), so sharing encodings across a batch
+        # of queries is safe
+        postings = {r["term"]: encoded(r).with_bounds(avgdl, k1, b)
+                    for _, r in pdf.iterrows()}
+        scorer = (score_segment_wand if strat == "wand"
+                  else score_segment_conjunctive)
+        return scorer(postings, idf, avgdl, k, on, off, or_flags, k1, b)
+    if dec_cache is None:
+        decoded = {r["term"]: _row_to_encoded(r, block_size).decode_all()
+                   for _, r in pdf.iterrows()}
+    else:
+        decoded = {}
+        for _, r in pdf.iterrows():
+            d = dec_cache.get(r["term"])
+            if d is None:
+                d = dec_cache[r["term"]] = _row_to_encoded(
+                    r, block_size).decode_all()
+            decoded[r["term"]] = d
+    return score_segment_exhaustive(
+        query, decoded, idf, avgdl, k, on, off, or_flags, k1, b)
+
+
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       k: int, on: int, off: int, or_flags: tuple,
                       k1: float, b: float, block_size: int, strategy: str,
@@ -78,56 +157,49 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
-    is executor-side data, never driver state).
-
-    strategy: 'wand' (flat OR, block-max pruned), 'conj' (flat AND,
-    skip-pointer intersection + block-max pruned), 'taat' (any tree,
-    exhaustive decode), 'wand_auto'/'conj_auto' (cost-based: fall back
-    to TAAT when >= 2 query terms are dense)."""
+    is executor-side data, never driver state)."""
     query = json.loads(query_json)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        strat = strategy
-        if strat in ("wand_auto", "conj_auto"):
-            # Cost-based choice, the same call an optimizer makes from
-            # stats: the pruned scorers walk block INTERVALS (vectorized
-            # mini-TAAT per passing interval, kernels.py), which pays off
-            # only when the block-max bound can skip most intervals. With
-            # >= 2 DENSE low-idf terms the candidate stream is nearly the
-            # whole segment and scores are flat, so pruning collapses and
-            # the single-pass exhaustive decode still wins (measured
-            # ~30ms TAAT vs ~150ms interval walk on a dense 150k-doc
-            # segment — down from 4.9s with round 2's per-doc pivot walk).
-            dense = sum(1 for _, r in pdf.iterrows()
-                        if int(r["df_global"]) * 20 > n_docs)
-            strat = "taat" if dense >= 2 else strat[:4]
-        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                              "score": pd.Series(dtype="float64")})
-        if len(pdf) == 0:
-            return empty
-        if strategy.startswith("conj") and len(pdf) < n_query_terms:
-            # a query term has no postings in this segment: the
-            # intersection is empty here (reference early-exit,
-            # skiplist_reverse_index.go:88-90)
-            return empty
-        idf = {
-            r["term"]: bm25_idf(n_docs, int(r["df_global"]))
-            for _, r in pdf.iterrows()
-        }
-        if strat in ("wand", "conj"):
-            postings = {r["term"]: _row_to_encoded(r, block_size)
-                        .with_bounds(avgdl, k1, b)
-                        for _, r in pdf.iterrows()}
-            scorer = (score_segment_wand if strat == "wand"
-                      else score_segment_conjunctive)
-            ids, scores = scorer(
-                postings, idf, avgdl, k, on, off, or_flags, k1, b)
-        else:
-            decoded = {r["term"]: _row_to_encoded(r, block_size).decode_all()
-                       for _, r in pdf.iterrows()}
-            ids, scores = score_segment_exhaustive(
-                query, decoded, idf, avgdl, k, on, off, or_flags, k1, b)
+        ids, scores = _score_segment_rows(
+            pdf, query, strategy, n_query_terms, n_docs, avgdl,
+            k, on, off, or_flags, k1, b, block_size)
         return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return kernel
+
+
+def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
+                       k: int, on: int, off: int, or_flags: tuple,
+                       k1: float, b: float, block_size: int):
+    """Per-segment kernel scoring MANY queries in one pass over the
+    segment's (deduplicated) posting rows. ``specs`` is a list of
+    (qid, query_json, strategy, terms_tuple, n_query_terms); each query
+    runs the exact single-query code path (:func:`_score_segment_rows`),
+    so batch results are rank- and score-identical to one-at-a-time
+    searches. Posting runs shared by several queries decode once per
+    segment via the caches."""
+    parsed = [(qid, json.loads(qj), strat, set(terms), nqt)
+              for qid, qj, strat, terms, nqt in specs]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        enc_cache: dict = {}
+        dec_cache: dict = {}
+        outs = []
+        for qid, query, strat, terms, nqt in parsed:
+            sub = pdf[pdf["term"].isin(terms)]
+            ids, scores = _score_segment_rows(
+                sub, query, strat, nqt, n_docs, avgdl,
+                k, on, off, or_flags, k1, b, block_size,
+                enc_cache=enc_cache, dec_cache=dec_cache)
+            if len(ids):
+                outs.append(pd.DataFrame(
+                    {"qid": qid, "doc_id": ids, "score": scores}))
+        if not outs:
+            return pd.DataFrame({"qid": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
 
     return kernel
 
@@ -245,6 +317,70 @@ class SearchEngine:
         )
         hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return self.hydrate(hits) if hydrate else hits
+
+    def search_many(self, queries: dict[str, TermQuery], k: int = 10,
+                    on: int = 0, off: int = 0, or_flags: tuple = (),
+                    hydrate: bool = False) -> DataFrame:
+        """BM25 top-k for MANY queries in ONE Spark job — the cluster
+        serving shape. A query batch shares a single term-pruned postings
+        scan (the union of every query's terms), one broadcast of the
+        combined term stats, and one per-segment Arrow kernel that scores
+        every query against the segment (posting runs reused across
+        queries that share a term); the per-query global top-k is a
+        single window shuffle over <= n_queries * n_segments * k rows.
+        Issuing Q queries individually costs Q scans + Q jobs of
+        scheduler latency; batched, both are paid once (the reference
+        amortizes the same way by multiplexing concurrent RPCs over one
+        resident index, index_service/sentinel.go:137-187 — here the
+        index is storage, so the scan is the cost to amortize).
+
+        Each query runs the exact single-query code path per segment
+        (same cost-based strategy choice, same float op order), so
+        results are rank- and score-identical to :meth:`search` — the
+        batch is a latency/throughput optimization, never a semantics
+        change.
+
+        Returns (qid, doc_id, score) ordered by (qid asc, score desc,
+        doc_id asc); queries with no terms contribute no rows.
+        """
+        from pyspark.sql.window import Window
+
+        specs = []
+        all_terms: set[str] = set()
+        for qid, q in queries.items():
+            terms = q.terms()
+            if not terms:
+                continue
+            strategy = ("wand_auto" if _is_flat_or(q)
+                        else "conj_auto" if _is_flat_and(q) else "taat")
+            specs.append((str(qid), q.to_json(), strategy,
+                          tuple(sorted(terms)), len(terms)))
+            all_terms |= terms
+        if not specs:
+            df = self.spark.createDataFrame(
+                [], "qid string, doc_id long, score double")
+            return self.hydrate_join(df) if hydrate else df
+        kern = _make_batch_kernel(
+            specs, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
+            k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
+            self.stats["block_size"])
+        ts = F.broadcast(
+            self.term_stats.filter(F.col("term").isin(list(all_terms))))
+        seg_hits = (
+            self._postings_for(all_terms)
+            .join(ts, "term", "left")
+            .fillna(0, subset=["df_global"])
+            .groupBy("segment_id")
+            .applyInPandas(kern, "qid string, doc_id long, score double")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"),
+                                              F.asc("doc_id"))
+        hits = (seg_hits
+                .withColumn("_rnk", F.row_number().over(w))
+                .filter(F.col("_rnk") <= k)
+                .drop("_rnk")
+                .orderBy("qid", F.desc("score"), F.asc("doc_id")))
+        return self.hydrate_join(hits) if hydrate else hits
 
     def search_bool(self, q: TermQuery, on: int = 0, off: int = 0,
                     or_flags: tuple = (), hydrate: bool = False) -> DataFrame:

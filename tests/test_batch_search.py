@@ -1,0 +1,96 @@
+"""Batch multi-query serving (`SearchEngine.search_many`).
+
+The batch path must be rank- AND score-identical to one-at-a-time
+`search` calls (it runs the same per-segment code per query), while
+planning ONE postings scan + ONE Spark job for the whole batch — the
+property that makes it the cluster serving shape (reference multiplexes
+concurrent RPCs over one resident index the same way,
+index_service/sentinel.go:137-187).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_pdf
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.plans.term_query import And, NewTermQuery, Or
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("batch") / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    build_index(spark, spark.createDataFrame(corpus_pdf(300)), out,
+                IndexConfig(seg_docs=100), resume=False)
+    return SearchEngine(spark, out)
+
+
+def _queries():
+    return {
+        "or2": Or(NewTermQuery("content", "def"),
+                  NewTermQuery("content", "return")),
+        "and2": And(NewTermQuery("content", "def"),
+                    NewTermQuery("content", "import")),
+        "one": Or(NewTermQuery("content", "class")),
+        "nested": And(Or(NewTermQuery("content", "def"),
+                         NewTermQuery("content", "class")),
+                      NewTermQuery("content", "return")),
+    }
+
+
+def test_batch_matches_single_exactly(eng):
+    """Every query's batch rows == its solo search rows, bitwise."""
+    batch = {(r["qid"], r["doc_id"]): r["score"]
+             for r in eng.search_many(_queries(), k=7).collect()}
+    n = 0
+    for qid, q in _queries().items():
+        solo = eng.search(q, k=7).collect()
+        assert solo, qid  # fixture guarantees hits for every query
+        for r in solo:
+            assert batch[(qid, r["doc_id"])] == r["score"], (qid, r)
+            n += 1
+    assert len(batch) == n  # no extra rows either
+
+
+def test_batch_respects_filters(eng):
+    qs = {"a": Or(NewTermQuery("content", "def"))}
+    got = eng.search_many(qs, k=5, on=1)
+    want = eng.search(Or(NewTermQuery("content", "def")), k=5, on=1)
+    assert ([(r["doc_id"], r["score"]) for r in got.collect()]
+            == [(r["doc_id"], r["score"]) for r in want.collect()])
+
+
+def test_batch_orders_by_qid_then_rank(eng):
+    rows = eng.search_many(_queries(), k=5).collect()
+    keys = [(r["qid"], -r["score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_batch_k_cap_per_query(eng):
+    rows = eng.search_many(_queries(), k=3).collect()
+    per = {}
+    for r in rows:
+        per[r["qid"]] = per.get(r["qid"], 0) + 1
+    assert per and all(v <= 3 for v in per.values())
+
+
+def test_batch_empty_inputs(eng):
+    assert eng.search_many({}, k=5).count() == 0
+    # a no-terms query contributes nothing; others still answer
+    qs = {"empty": Or(), "ok": Or(NewTermQuery("content", "def"))}
+    got = {r["qid"] for r in eng.search_many(qs, k=5).collect()}
+    assert got == {"ok"}
+
+
+def test_batch_plans_one_postings_scan(eng):
+    """The whole batch must read the postings table ONCE (that single
+    shared scan is the point of batching)."""
+    plan = eng.search_many(_queries(), k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln and "postings" in ln]
+    assert len(scans) == 1, plan
