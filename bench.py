@@ -105,7 +105,15 @@ def main() -> None:
                            NewTermQuery("content", ts[1])),
                        k=10, mode="conj").collect()
 
+    def batch_all():
+        # the SAME 3 OR queries as wand_all, answered by ONE Spark job
+        # (shared postings scan + per-segment multi-query kernel)
+        qs = {f"q{i}": Or(*[NewTermQuery("content", t) for t in ts])
+              for i, ts in enumerate(terms)}
+        eng.search_many(qs, k=10).collect()
+
     timings["bm25_wand_3q"] = median_time(wand_all)
+    timings["bm25_batch_3q"] = median_time(batch_all)
     timings["bm25_taat_3q"] = median_time(taat_all)
     timings["bm25_conj_3q"] = median_time(conj_all)
     # per-query latency p50 (the BASELINE.md headline query metric)
