@@ -170,23 +170,26 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
 
 
 def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
-                       k: int, on: int, off: int, or_flags: tuple,
-                       k1: float, b: float, block_size: int):
+                       k: int, k1: float, b: float, block_size: int):
     """Per-segment kernel scoring MANY queries in one pass over the
     segment's (deduplicated) posting rows. ``specs`` is a list of
-    (qid, query_json, strategy, terms_tuple, n_query_terms); each query
-    runs the exact single-query code path (:func:`_score_segment_rows`),
-    so batch results are rank- and score-identical to one-at-a-time
-    searches. Posting runs shared by several queries decode once per
-    segment via the caches."""
-    parsed = [(qid, json.loads(qj), strat, set(terms), nqt)
-              for qid, qj, strat, terms, nqt in specs]
+    (qid, query_json, strategy, terms_tuple, n_query_terms, on, off,
+    or_flags) — the bit-flag filter is per query, so a batch can
+    multiplex heterogeneous requests exactly like the reference's
+    concurrent RPCs. Each query runs the exact single-query code path
+    (:func:`_score_segment_rows`), so batch results are rank- and
+    score-identical to one-at-a-time searches. Posting runs shared by
+    several queries decode once per segment via the caches (safe across
+    differing flags: bit filtering happens inside the scorers, after
+    decode)."""
+    parsed = [(qid, json.loads(qj), strat, set(terms), nqt, on, off, orf)
+              for qid, qj, strat, terms, nqt, on, off, orf in specs]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         enc_cache: dict = {}
         dec_cache: dict = {}
         outs = []
-        for qid, query, strat, terms, nqt in parsed:
+        for qid, query, strat, terms, nqt, on, off, or_flags in parsed:
             sub = pdf[pdf["term"].isin(terms)]
             ids, scores = _score_segment_rows(
                 sub, query, strat, nqt, n_docs, avgdl,
@@ -320,7 +323,8 @@ class SearchEngine:
 
     def search_many(self, queries: dict[str, TermQuery], k: int = 10,
                     on: int = 0, off: int = 0, or_flags: tuple = (),
-                    hydrate: bool = False) -> DataFrame:
+                    hydrate: bool = False,
+                    flags: dict[str, tuple] | None = None) -> DataFrame:
         """BM25 top-k for MANY queries in ONE Spark job — the cluster
         serving shape. A query batch shares a single term-pruned postings
         scan (the union of every query's terms), one broadcast of the
@@ -342,9 +346,15 @@ class SearchEngine:
 
         Returns (qid, doc_id, score) ordered by (qid asc, score desc,
         doc_id asc); queries with no terms contribute no rows.
+
+        ``on``/``off``/``or_flags`` are the batch-wide bit-flag filter;
+        ``flags`` overrides them per query id with an
+        ``(on, off, or_flags)`` tuple, so one batch can multiplex
+        heterogeneous requests.
         """
         from pyspark.sql.window import Window
 
+        flags = flags or {}
         specs = []
         all_terms: set[str] = set()
         for qid, q in queries.items():
@@ -353,8 +363,10 @@ class SearchEngine:
                 continue
             strategy = ("wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
+            q_on, q_off, q_orf = flags.get(qid, (on, off, or_flags))
             specs.append((str(qid), q.to_json(), strategy,
-                          tuple(sorted(terms)), len(terms)))
+                          tuple(sorted(terms)), len(terms),
+                          int(q_on), int(q_off), tuple(q_orf)))
             all_terms |= terms
         if not specs:
             df = self.spark.createDataFrame(
@@ -362,7 +374,7 @@ class SearchEngine:
             return self.hydrate_join(df) if hydrate else df
         kern = _make_batch_kernel(
             specs, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
-            k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
+            k, self.stats["k1"], self.stats["b"],
             self.stats["block_size"])
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(all_terms))))

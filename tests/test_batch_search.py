@@ -64,6 +64,25 @@ def test_batch_respects_filters(eng):
             == [(r["doc_id"], r["score"]) for r in want.collect()])
 
 
+def test_batch_per_query_flags(eng):
+    """`flags` multiplexes heterogeneous bit-filters in one batch: each
+    query's rows equal its solo search under the same (on, off,
+    or_flags), even when batchmates use different filters."""
+    q = Or(NewTermQuery("content", "def"))
+    per_q = {"strict": (1, 0, ()), "anyof": (0, 0, (1, 2)), "plain": (0, 0, ())}
+    batch = eng.search_many({qid: q for qid in per_q}, k=5, flags=per_q)
+    rows = [(r["qid"], r["doc_id"], r["score"]) for r in batch.collect()]
+    want = []
+    for qid, (on, off, orf) in per_q.items():
+        want += [(qid, r["doc_id"], r["score"])
+                 for r in eng.search(q, k=5, on=on, off=off,
+                                     or_flags=orf).collect()]
+    assert sorted(rows) == sorted(want)
+    # the filters genuinely differ (strict is a strict subset of plain)
+    by_q = {qid: {d for qq, d, _ in rows if qq == qid} for qid in per_q}
+    assert by_q["strict"] != by_q["plain"]
+
+
 def test_batch_orders_by_qid_then_rank(eng):
     rows = eng.search_many(_queries(), k=5).collect()
     keys = [(r["qid"], -r["score"], r["doc_id"]) for r in rows]
