@@ -143,8 +143,7 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
         for _, r in pdf.iterrows():
             d = dec_cache.get(r["term"])
             if d is None:
-                d = dec_cache[r["term"]] = _row_to_encoded(
-                    r, block_size).decode_all()
+                d = dec_cache[r["term"]] = encoded(r).decode_all()
             decoded[r["term"]] = d
     return score_segment_exhaustive(
         query, decoded, idf, avgdl, k, on, off, or_flags, k1, b)
@@ -371,7 +370,7 @@ class SearchEngine:
         if not specs:
             df = self.spark.createDataFrame(
                 [], "qid string, doc_id long, score double")
-            return self.hydrate_join(df) if hydrate else df
+            return self.hydrate(df) if hydrate else df
         kern = _make_batch_kernel(
             specs, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, self.stats["k1"], self.stats["b"],
@@ -392,7 +391,9 @@ class SearchEngine:
                 .filter(F.col("_rnk") <= k)
                 .drop("_rnk")
                 .orderBy("qid", F.desc("score"), F.asc("doc_id")))
-        return self.hydrate_join(hits) if hydrate else hits
+        # hits are bounded (<= n_queries * k rows), so hydrate via the
+        # pruned point-lookup path, not a full forward-index join
+        return self.hydrate(hits) if hydrate else hits
 
     def search_bool(self, q: TermQuery, on: int = 0, off: int = 0,
                     or_flags: tuple = (), hydrate: bool = False) -> DataFrame:
