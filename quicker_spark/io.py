@@ -84,6 +84,34 @@ def apply_dir_ops(base_dir: str, ops: list[dict]) -> None:
             shutil.rmtree(dst, ignore_errors=True)
 
 
+# Maintenance physical-commit backend. The default is the path layout's
+# directory swaps (apply_dir_ops); a deployment with a table format
+# registers its own committer ONCE at startup — maintenance code calls
+# commit_partition_ops and never needs editing to switch formats. An
+# Iceberg backend would translate the op list into a single
+# overwritePartitions snapshot (overwrite_docs_partitions) for the docs
+# swaps and a REPLACE TABLE for the term-stats swap.
+_commit_backend = None
+
+
+def set_commit_backend(fn) -> None:
+    """Install a custom physical-commit backend: ``fn(base_dir, ops)``
+    with the op dicts documented on :func:`apply_dir_ops`. Pass ``None``
+    to restore the path-layout default."""
+    global _commit_backend
+    _commit_backend = fn
+
+
+def commit_partition_ops(base_dir: str, ops: list[dict]) -> None:
+    """Format seam for maintenance commits: dispatches to the registered
+    backend (Iceberg snapshot commit on a deployment that installed one)
+    or the path layout's idempotent directory swaps."""
+    if _commit_backend is not None:
+        _commit_backend(base_dir, ops)
+    else:
+        apply_dir_ops(base_dir, ops)
+
+
 def overwrite_docs_partitions(df: DataFrame, table: str) -> None:
     """Catalog-table (Iceberg) form of the maintenance docs commit: one
     ``overwritePartitions`` snapshot replaces exactly the partitions

@@ -49,7 +49,7 @@ from quicker_spark.functions.tokenize import (
     tokenize_udf,
 )
 from quicker_spark.model import B, K1
-from quicker_spark.operators.docs import prepare_docs
+from quicker_spark.operators.docs import prepare_docs, release_id_cache
 
 
 # On-disk layout version. Bumped whenever the postings schema or docs
@@ -318,6 +318,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              .write.partitionBy("segment_id")
              .mode("overwrite").parquet(docs_path))
         prep_phases["docs_write"] = time.time() - t_write
+        # ids are durably on disk now — drop the doc-id fence cache so
+        # repeated builds in one session don't accumulate corpus caches
+        release_id_cache(docs)
         t_agg = time.time()
         agg = obs.get
         stats = {

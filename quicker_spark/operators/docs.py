@@ -99,7 +99,24 @@ def assign_doc_ids(df: DataFrame, key_cols=DOC_KEY_COLS,
     ids.persist(StorageLevel.MEMORY_AND_DISK)
     ids.count()
     parted.unpersist()
+    # The persist is load-bearing (it fences the nondeterministic mid
+    # expression), so it cannot be dropped here — but it must not leak
+    # either: Spark's CacheManager holds it until an explicit unpersist,
+    # so a long-lived caller (streaming ingest: one prepare per
+    # compaction) would accumulate corpus-sized caches without bound.
+    # Callers release it via release_id_cache() once the ids are
+    # materialized downstream (e.g. the docs table is written).
     return ids
+
+
+def release_id_cache(df: DataFrame) -> None:
+    """Unpersist the doc-id fence cache behind a :func:`prepare_docs` /
+    :func:`assign_doc_ids` result, once the caller has durably
+    materialized the ids (written the docs table). No-op for frames
+    without one (``id_col`` path)."""
+    fence = getattr(df, "_id_cache", None)
+    if fence is not None:
+        fence.unpersist()
 
 
 def dedupe_latest(df: DataFrame, key_cols=DOC_KEY_COLS,
@@ -132,18 +149,19 @@ def prepare_docs(corpus: DataFrame, seg_docs: int,
     api/document.proto:13), trust it instead of the sha256 dense rank —
     skips the ranking passes entirely and keeps engine ids == business ids.
     """
+    fence = None
     if id_col is not None:
         spark = corpus.sparkSession
         n = n_parts or spark.sparkContext.defaultParallelism
         ids = (corpus.withColumn("doc_id", F.col(id_col).cast("long"))
                      .repartitionByRange(n, "doc_id"))
     else:
-        ids = assign_doc_ids(corpus, n_parts=n_parts)
+        ids = fence = assign_doc_ids(corpus, n_parts=n_parts)
     if start_id:
         # fresh-id appends for upsert (reference: re-added docs always get
         # larger DocIds, index_service/indexer.go:76-82)
         ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(int(start_id)))
-    return ids.select(
+    out = ids.select(
         "doc_id",
         F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
                     F.lit("@"), F.col("commit")).alias("id"),
@@ -157,3 +175,5 @@ def prepare_docs(corpus: DataFrame, seg_docs: int,
         (F.col("doc_id") / F.lit(seg_docs)).cast("long").alias("segment_id"),
         "content",
     )
+    out._id_cache = fence
+    return out

@@ -56,9 +56,13 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quicker_spark.io import apply_dir_ops
-from quicker_spark.operators.build import IndexConfig, write_wave
-from quicker_spark.operators.docs import DOC_KEY_COLS, prepare_docs
+from quicker_spark.io import commit_partition_ops
+from quicker_spark.operators.build import IndexConfig, _success, write_wave
+from quicker_spark.operators.docs import (
+    DOC_KEY_COLS,
+    prepare_docs,
+    release_id_cache,
+)
 
 _PENDING = "maintain_pending.json"
 _DOCS_STAGING = "docs_staging"
@@ -89,14 +93,12 @@ def _cfg_from_stats(stats: dict) -> IndexConfig:
     )
 
 
-def _success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
-
-
-# the physical commit goes through the io format seam: path layout =
-# staged directory swaps; Iceberg layout = one overwritePartitions
-# snapshot (io.overwrite_docs_partitions)
-_apply_dir_ops = apply_dir_ops
+# the physical commit goes through the io format seam
+# (io.commit_partition_ops): path layout = staged directory swaps;
+# a deployment that registered an Iceberg backend
+# (io.set_commit_backend) gets one snapshot commit per op batch
+# (io.overwrite_docs_partitions) without editing this module
+_apply_dir_ops = commit_partition_ops
 
 
 def recover_pending(spark: SparkSession, index_dir: str) -> bool:
@@ -391,6 +393,7 @@ def upsert_docs(spark: SparkSession, index_dir: str, new_corpus: DataFrame,
     merged = kept.unionByName(new_docs.select(*kept.columns))
     ops, after = _stage_docs(merged, segs, index_dir)
     new_docs.unpersist()
+    release_id_cache(new_docs)
     new_stats = _apply_stats_delta(stats, before, after, new_max=new_max)
     present = {s for s, v in after.items() if v["n"] > 0}
 

@@ -306,7 +306,7 @@ def lsh_ann_topk_indexed(spark, ann_dir: str, query_id: int, k: int = 10,
                          n_planes: int | None = None,
                          n_tables: int | None = None,
                          probes: int | None = None,
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str | None = None) -> DataFrame:
     """ANN top-k against a :func:`build_ann_index` table.
 
     The query vector is one point lookup (control-plane-sized collect).
@@ -331,8 +331,10 @@ def lsh_ann_topk_indexed(spark, ann_dir: str, query_id: int, k: int = 10,
             meta = json.load(fh)
         n_planes = meta["n_planes"] if n_planes is None else n_planes
         n_tables = meta["n_tables"] if n_tables is None else n_tables
+        id_col = meta.get("id_col") if id_col is None else id_col
     n_planes = 4 if n_planes is None else n_planes
     n_tables = 3 if n_tables is None else n_tables
+    id_col = "vec_id" if id_col is None else id_col
     if probes is None:
         probes = 2 * n_planes
     e = spark.read.parquet(ann_dir)

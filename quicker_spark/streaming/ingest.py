@@ -89,11 +89,33 @@ def _compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     and apply it as ONE index mutation; returns False when nothing is
     staged."""
     staging = _staging_dir(index_dir)
-    if not _staged_batches(staging):
+    staged = _staged_batches(staging)
+    if not staged:
         return False
-    gen = spark.read.parquet(staging)
+    try:
+        gen = spark.read.parquet(staging)
+    except Exception:
+        # marker present but no readable data files: a crash mid-cleanup
+        # got ahead of the data removal — finish the cleanup instead of
+        # wedging every future compaction on the schema-less read
+        shutil.rmtree(staging, ignore_errors=True)
+        return False
+    # only rows of batches the marker owns: part-files orphaned by a
+    # crash after the marker delete (below) but before their rmtree must
+    # not be re-applied with the next generation
+    gen = gen.filter(F.col(_BATCH_COL).isin([int(b) for b in staged]))
+    if gen.isEmpty():
+        shutil.rmtree(staging, ignore_errors=True)
+        return False
     gen = dedupe_latest(gen, key_cols, order_col=_BATCH_COL).drop(_BATCH_COL)
     _apply_generation(spark, gen, index_dir, cfg, key_cols, "compaction")
+    # commit point is the single-file marker delete (atomic on a local/
+    # HDFS fs), not the multi-file rmtree: whichever files a crash
+    # strands afterwards are ignored by the batch-ownership filter
+    try:
+        os.remove(os.path.join(staging, "_staged_batches.json"))
+    except FileNotFoundError:
+        pass
     shutil.rmtree(staging, ignore_errors=True)
     return True
 

@@ -185,3 +185,19 @@ def test_lookup_and_has(engine):
     got = eng.lookup([0, 1, 10_000_000]).collect()
     assert sorted(r["doc_id"] for r in got) == [0, 1]
     assert eng.has(0) and not eng.has(10_000_000)
+
+
+def test_build_releases_id_cache(spark, tmp_path):
+    """The doc-id fence cache is released once the docs table is
+    written — repeated builds in one session (streaming compactions)
+    must not accumulate corpus-sized cache entries."""
+    import shutil
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for i in range(2):
+        out = str(tmp_path / f"leak{i}")
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, corpus_df(spark, 80, partitions=3), out,
+                    IndexConfig(seg_docs=50, n_salts=2), resume=False)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"leaked {after - before} persisted RDDs"

@@ -236,3 +236,33 @@ def test_upsert_zebra_searchable(spark, index_dir):
     assert len(hits) == 1
     assert hits[0]["id"] == f"{replaced.iloc[0].repo}:{replaced.iloc[0].path}@{replaced.iloc[0].commit}"
     assert hits[0]["doc_id"] >= N_DOCS  # fresh id past old max
+
+
+def test_commit_backend_seam(spark, index_dir):
+    """Maintenance physically commits through io.commit_partition_ops —
+    a deployment-registered backend (e.g. an Iceberg snapshot committer)
+    sees every op batch without maintain.py edits."""
+    from quicker_spark import io
+
+    calls = []
+
+    def recording_backend(base_dir, ops):
+        calls.append(list(ops))
+        io.apply_dir_ops(base_dir, ops)
+
+    io.set_commit_backend(recording_backend)
+    try:
+        delete_docs(spark, index_dir, [3, 7])
+    finally:
+        io.set_commit_backend(None)
+    # docs swap batch + term-stats swap batch, at minimum
+    assert len(calls) >= 2
+    flat = [op for batch in calls for op in batch]
+    assert any(op["dst"].startswith("docs/") for op in flat)
+    assert any(op["dst"] == "term_stats" for op in flat)
+    pdf = corpus_pdf(N_DOCS)
+    full = Oracle(pdf)
+    victim_keys = {full.docs[d]["id"] for d in (3, 7)}
+    remaining = pdf[~pdf.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}" in victim_keys, axis=1)]
+    _assert_matches_oracle(spark, index_dir, Oracle(remaining))

@@ -192,3 +192,16 @@ def test_near_pairs_lsh_plan_has_no_cartesian(emb):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_ann_probe_honors_meta_id_col(spark, emb, tmp_path_factory):
+    """The probe's id column comes from the index's own _ann_meta.json —
+    callers never need to repeat constructor args."""
+    from quicker_spark.operators import simsearch
+
+    ann_dir = str(tmp_path_factory.mktemp("annid") / "idx")
+    renamed = emb.withColumnRenamed("vec_id", "emb_id")
+    simsearch.build_ann_index(renamed, ann_dir, n_planes=4, id_col="emb_id")
+    rows = simsearch.lsh_ann_topk_indexed(spark, ann_dir, 0, k=5).collect()
+    assert rows and "emb_id" in rows[0].asDict()

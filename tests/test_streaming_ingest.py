@@ -129,3 +129,52 @@ def test_io_seam(spark, tmp_path):
     df = spark.createDataFrame(corpus_pdf(20))
     write_corpus(df, p)
     assert read_corpus(spark, p).count() == 20
+
+
+def test_compact_survives_stranded_marker(spark, dirs, tmp_path):
+    """A crash that strands _staged_batches.json with no readable data
+    must not wedge compaction: flush cleans up and reports nothing
+    staged (the marker delete, not the rmtree, is the commit point)."""
+    import json
+
+    from quicker_spark.streaming.ingest import _staging_dir, flush_ingest
+
+    staging = _staging_dir(dirs["idx"])
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
+        json.dump([0, 1], fh)
+    assert flush_ingest(spark, dirs["idx"]) is False
+    assert not os.path.exists(staging)
+
+
+def test_compact_ignores_orphan_batches(spark, dirs):
+    """Part-files stranded by a crash after the marker delete belong to
+    no staged batch and must not be re-applied with the next
+    generation."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from quicker_spark.streaming.ingest import (
+        _BATCH_COL,
+        _staging_dir,
+        flush_ingest,
+    )
+
+    staging = _staging_dir(dirs["idx"])
+    pdf = corpus_pdf(60)
+    # orphan rows from a previously-compacted generation (batch 0) plus
+    # a live staged batch 1; the marker owns only batch 1
+    orphan = spark.createDataFrame(pdf.iloc[:30]).withColumn(
+        _BATCH_COL, F.lit(0))
+    live = spark.createDataFrame(pdf.iloc[30:]).withColumn(
+        _BATCH_COL, F.lit(1))
+    orphan.write.mode("append").parquet(staging)
+    live.write.mode("append").parquet(staging)
+    with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
+        json.dump([1], fh)
+    assert flush_ingest(spark, dirs["idx"],
+                        IndexConfig(seg_docs=200, n_salts=4)) is True
+    # only the owned batch was applied
+    assert SearchEngine(spark, dirs["idx"]).count() == 30
