@@ -117,9 +117,15 @@ def near_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
         .select(ia.alias("a"), ib.alias("b"))
         .distinct()
     )
-    va = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
-    vb = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # norms are per-VECTOR functions — fold each once here instead of
+    # twice per candidate pair (bitwise-identical doubles, 3x less fold
+    # work over a candidate set that can approach |pairs| at low
+    # thresholds)
+    va = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
+                  F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"))
+    vb = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
+                  F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (cand.join(va, "a").join(vb, "b")
             .select("a", "b", cos.alias("cos"))
             .filter(F.col("cos") >= threshold))
