@@ -272,9 +272,16 @@ SQL_UPSERTED_BASE = (
 
 SQL_ID_EXPR = "d.source || ':' || d.doc_id::varchar || '@0'"
 
+# Kirsch-Mitzenmacher double hashing — matches textops.minhash_signatures:
+# permutation i is h1 + i*h2 with h1 = 60-bit md5 prefix of the shingle,
+# h2 = independent 56-bit md5 prefix of 'x:' || shingle.
+SQL_SHINGLE_HASHES = (
+    f"WITH sh AS ({SQL_SHINGLES}) "
+    f"SELECT doc_id, {_sql_h60('s')} AS h1, "
+    "('0x' || substr(md5('x:' || s), 1, 14))::bigint AS h2 FROM sh"
+)
 SQL_MINHASH_MINS = ", ".join(
-    "min({h}) AS sig_{i}".format(h=_sql_h60("'{}:' || s".format(i)), i=i)
-    for i in range(8)
+    f"min(h1 + {i} * h2) AS sig_{i}" for i in range(8)
 )
 
 
@@ -754,11 +761,11 @@ ORACLE_SQL = {
         "PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM u) WHERE rn = 1"
     ),
     "minhash_sig": (
-        f"WITH sh AS ({SQL_SHINGLES}) "
+        f"WITH sh AS ({SQL_SHINGLE_HASHES}) "
         f"SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id"
     ),
     "lsh_candidates": (
-        f"WITH sh AS ({SQL_SHINGLES}), "
+        f"WITH sh AS ({SQL_SHINGLE_HASHES}), "
         f"sig AS (SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id), "
         "band AS ("
         + " UNION ALL ".join(

@@ -85,16 +85,29 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        shingle: int = 3) -> DataFrame:
     """(id, sig_0..sig_{k-1}): k-permutation MinHash over word shingles.
 
-    Permutation i is the md5-prefix hash salted with i — no multiply-mod
-    arithmetic, so the identical signature is computable in any engine.
-    Explode + groupBy(id) with k `min` aggregates: map-side combine keeps
-    the shuffle at one row per doc.
+    Double hashing (Kirsch-Mitzenmacher): permutation i is
+    ``h1 + i * h2`` from TWO md5-prefix hashes per shingle instead of k
+    salted md5s — the per-shingle hash cost IS the minhash cost at
+    corpus scale, and it no longer grows with k. Plain int64 arithmetic
+    (h1 < 2^60, h2 < 2^56, so h1 + 63*h2 < 2^63 — ANSI-overflow-safe
+    for k <= 64), portable: any engine computes identical signatures.
+    Explode + groupBy(id) with k `min` aggregates: map-side combine
+    keeps the shuffle at one row per doc.
     """
+    if k > 64:
+        raise ValueError(f"k ({k}) > 64 would overflow the int64 "
+                         "double-hash h1 + i*h2")
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle)).alias("s")
+    ).select(
+        F.col(id_col),
+        md5_long(F.col("s")).alias("h1"),
+        # independent second hash, 56-bit so i*h2 stays in range
+        F.conv(F.substring(F.md5(F.concat(F.lit("x:"), F.col("s"))), 1, 14),
+               16, 10).cast("long").alias("h2"),
     )
     aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig_{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"sig_{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
