@@ -550,13 +550,15 @@ def q_embed_near_pairs(spark, sf_dir):
     """Near pairs through the banded sign-LSH candidate join (the scale
     path) — compared against the EXACT all-pairs SQL oracle, so the run
     also certifies the LSH recall at this corpus/threshold. The harness
-    call runs with DOUBLE the default band count (16 bands of 2): at
-    threshold 0.5 a borderline pair's miss probability drops from ~1e-2
-    to ~8e-5, so the certified region is effectively recall-1 on any
-    corpus/sf the driver picks — the production-default recall floor
-    stays separately asserted in tests/test_searcher_multimodal.py."""
+    call runs with 4x the default band count (32 bands of 2): at
+    threshold 0.5 a borderline pair's miss probability is
+    (1 - (2/3)^2)^32 ~ 5e-9, so the certified region is effectively
+    recall-1 on any corpus/sf the driver picks (measured: the one sf0.1
+    pair that 16 bands missed collides at band 17) — the
+    production-default recall floor stays separately asserted in
+    tests/test_searcher_multimodal.py."""
     p = simsearch.near_pairs_lsh(embeddings(spark, sf_dir), threshold=0.5,
-                                 n_planes=32, bands=16)
+                                 n_planes=64, bands=32)
     return p.select("a", "b", x4(F.col("cos")).alias("cos_x4"))
 
 

@@ -77,16 +77,34 @@ def near_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
                    n_planes: int = 16, bands: int = 8, dim: int = 64,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """(a, b, cos): near pairs through banded sign-LSH candidates — the
+    """(a, b, cos): near pairs through banded sign-LSH buckets — the
     scale path for embedding near-dup detection.
 
     Each vector gets ``n_planes`` hyperplane sign bits, grouped into
-    ``bands`` band keys; candidate pairs share >= 1 band (equi-join on the
-    band key, sub-quadratic exactly like the MinHash LSH join); the exact
-    cosine then keeps pairs >= threshold. Probabilistic recall: a pair at
-    cosine c collides per plane with prob 1 - arccos(c)/pi, so with 8
-    bands of 2 a 0.9-cosine pair is missed with prob ~(1 - 0.81)^8 ~ 2e-6;
-    true near-dups (c > 0.99) are effectively never missed.
+    ``bands`` band keys; a pair is a candidate iff it shares >= 1 bucket
+    (band, key). The pipeline is ONE shuffle (repartition by bucket) +
+    an Arrow ``applyInPandas`` verify per bucket:
+
+    - all pairwise cosines inside a bucket are computed with a blocked
+      per-dimension fold (``acc += col_d outer col_d`` in ascending d),
+      the EXACT float64 add order of :func:`dot`'s Catalyst aggregate —
+      results are bit-identical to the higher-order expression and to a
+      SQL oracle performing the same left fold;
+    - a pair colliding in m buckets would surface m times; each bucket
+      keeps only pairs whose FIRST colliding band is this one (band bj
+      collides iff the signatures' XOR has a zero bj-th r-bit slice —
+      both signatures are local to the bucket row), so the union over
+      buckets is exactly-once with NO distinct shuffle over a candidate
+      set that approaches |all pairs| at low thresholds.
+
+    Probabilistic recall: a pair at cosine c collides per plane with
+    prob 1 - arccos(c)/pi, so with 8 bands of 2 a 0.9-cosine pair is
+    missed with prob ~(1 - 0.81)^8 ~ 2e-6; true near-dups (c > 0.99) are
+    effectively never missed. Scale note: bucket population ~ n/2^r per
+    band, so r (planes per band) must grow ~log2(n / target_bucket) with
+    corpus size — same sizing rule as :func:`build_ann_index`; verify
+    work is blocked (``_VERIFY_BLOCK`` rows at a time) so memory stays
+    bounded for hot buckets.
     """
     if n_planes % bands:
         raise ValueError(
@@ -98,37 +116,80 @@ def near_pairs_lsh(emb: DataFrame, threshold: float = 0.9,
     # one Arrow pass computes all n_planes sign bits as a single long;
     # the per-band keys are then cheap bit-slices of it in Catalyst
     sig = _buckets_udf(n_planes, dim)(F.col("v"))
-    signed = e.select(F.col(id_col), sig.alias("sig"))
+    tagged = e.select(F.col(id_col), F.col("v"), sig.alias("sig"))
     band_keys = [
-        F.concat_ws(":", F.lit(str(bi)),
-                    F.shiftright(F.col("sig"), bi * r)
-                    .bitwiseAND(F.lit((1 << r) - 1)).cast("string"))
+        F.shiftrightunsigned(F.col("sig"), bi * r)
+        .bitwiseAND(F.lit((1 << r) - 1))
         for bi in range(bands)
     ]
-    # band rows carry only (id, band_key): the vectors join back AFTER
-    # the candidate self-join, so the wide embedding column is shuffled
-    # once per side instead of `bands` times through the explode
-    rows = signed.select(F.col(id_col),
-                         F.explode(F.array(*band_keys)).alias("band_key"))
-    a, b = rows.alias("a"), rows.alias("b")
-    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (ib > ia))
-        .select(ia.alias("a"), ib.alias("b"))
-        .distinct()
-    )
-    # norms are per-VECTOR functions — fold each once here instead of
-    # twice per candidate pair (bitwise-identical doubles, 3x less fold
-    # work over a candidate set that can approach |pairs| at low
-    # thresholds)
-    va = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"),
-                  F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"))
-    vb = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"),
-                  F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (cand.join(va, "a").join(vb, "b")
-            .select("a", "b", cos.alias("cos"))
-            .filter(F.col("cos") >= threshold))
+    rows = tagged.select(
+        F.col(id_col), F.col("v"), F.col("sig"),
+        F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
+    verify = _bucket_verify_fn(threshold, r, id_col)
+    out_schema = "a long, b long, cos double"
+    return (rows.groupBy("band", "bkey")
+            .applyInPandas(verify, out_schema))
+
+
+def _bucket_verify_fn(threshold: float, r: int, id_col: str):
+    """Per-bucket exact verify for :func:`near_pairs_lsh` (see its
+    docstring for the float-order and exactly-once contracts)."""
+    import numpy as np
+    import pandas as pd
+
+    mask = (1 << r) - 1
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        sigs = pdf["sig"].to_numpy(dtype=np.int64)[order]
+        V = np.array(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+        band = int(pdf["band"].iloc[0])
+        # per-vector self-dot, ascending-d fold (== sqrt(dot(v, v)))
+        sq = np.zeros(n)
+        for d in range(V.shape[1]):
+            sq += V[:, d] * V[:, d]
+        norms = np.sqrt(sq)
+        outs = []
+        block = _VERIFY_BLOCK
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            # pairwise dots of rows [i0:i1) x all rows, ascending-d fold
+            C = np.zeros((i1 - i0, n))
+            for d in range(V.shape[1]):
+                C += V[i0:i1, d:d + 1] * V[None, :, d]
+            cos = C / (norms[i0:i1, None] * norms[None, :])
+            jj, kk = np.nonzero(cos >= threshold)
+            glob = jj + i0
+            upper = kk > glob              # each unordered pair once, a < b
+            jj, kk, glob = jj[upper], kk[upper], glob[upper]
+            if not len(jj):
+                continue
+            # exactly-once across buckets: keep only pairs whose first
+            # colliding band is this bucket's band
+            x = sigs[glob] ^ sigs[kk]
+            first = np.ones(len(jj), dtype=bool)
+            for bj in range(band):
+                first &= ((x >> (bj * r)) & mask) != 0
+            if not first.any():
+                continue
+            outs.append(pd.DataFrame({
+                "a": ids[glob[first]],
+                "b": ids[kk[first]],
+                "cos": cos[jj[first], kk[first]],
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return verify
+
+
+_VERIFY_BLOCK = 2048
 
 
 # -- LSH-bucketed ANN ---------------------------------------------------------
