@@ -194,6 +194,36 @@ def test_near_pairs_lsh_plan_has_no_cartesian(emb):
     assert "CartesianProduct" not in plan
 
 
+def test_near_pairs_exactly_once_across_buckets(spark):
+    """Identical vectors collide in EVERY band; the first-colliding-band
+    check must still emit the pair exactly once (cos = 1.0)."""
+    from quicker_spark.operators import simsearch
+
+    rows = [(i, [1.0, 2.0] + [0.0] * 62) for i in range(3)]
+    rows += [(10, [0.0] * 62 + [5.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.near_pairs_lsh(emb, threshold=0.99).collect()
+    pairs = sorted((r.a, r.b) for r in out)
+    assert pairs == [(0, 1), (0, 2), (1, 2)]
+    assert all(abs(r.cos - 1.0) < 1e-12 for r in out)
+
+
+def test_near_pairs_blocked_verify_matches_unblocked(spark, monkeypatch):
+    """A tiny _VERIFY_BLOCK forces the hot-bucket chunked path; results
+    must be identical to the single-block run."""
+    from quicker_spark.operators import simsearch
+
+    rows = [(i, [float((i * 7 + d * 3) % 5 - 2) for d in range(64)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {(r.a, r.b): r.cos
+            for r in simsearch.near_pairs_lsh(emb, threshold=0.3).collect()}
+    monkeypatch.setattr(simsearch, "_VERIFY_BLOCK", 4)
+    small = {(r.a, r.b): r.cos
+             for r in simsearch.near_pairs_lsh(emb, threshold=0.3).collect()}
+    assert base == small and len(base) > 0
+
+
 @needs_testdata
 def test_ann_probe_honors_meta_id_col(spark, emb, tmp_path_factory):
     """The probe's id column comes from the index's own _ann_meta.json —
