@@ -36,20 +36,57 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _query_cos_udf(qv: list):
+    """Arrow UDF: cosine of every row vector against the fixed query
+    vector (a closure constant — the broadcast). Ascending-d fold for
+    both the dot and the norms, bit-identical to :func:`cosine`."""
+    import numpy as np
+
+    q = np.asarray(qv, dtype=np.float64)
+    qn = 0.0
+    for d in range(len(q)):          # python floats ARE IEEE doubles:
+        qn += float(q[d]) * float(q[d])  # same ascending fold as dot(q, q)
+    qnorm = float(np.sqrt(qn))
+
+    @F.pandas_udf("double")
+    def query_cos(v):
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series(np.zeros(0))
+        V = np.array(v.tolist(), dtype=np.float64)
+        num = np.zeros(len(V))
+        sq = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            num += V[:, d] * q[d]
+            sq += V[:, d] * V[:, d]
+        return pd.Series(num / (np.sqrt(sq) * qnorm))
+
+    return query_cos
+
+
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of one stored vector.
 
     (id, cos) ordered by (cosine desc, id asc).
-    The query row is joined in by a 1-row broadcast cross join; the scan +
-    limit compiles to per-partition partial top-k.
+    The query vector is fetched by one point lookup and shipped as a
+    closure constant of the Arrow scan kernel; the scan + limit compiles
+    to per-partition partial top-k (TakeOrdered).
     """
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    q = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
-    cos = cosine(F.col("v"), F.col("qv"))
+    qrow = e.filter(F.col(id_col) == query_id).select("v").head()
+    if qrow is None:
+        return emb.sparkSession.createDataFrame([], f"{id_col} long, cos double")
+    # query vector is a closure constant of the Arrow kernel (the
+    # broadcast); per-dimension ascending-d fold = the exact float64 add
+    # order of the Catalyst `cosine` aggregate, so scores are bit-identical
+    # to the higher-order expression (and the SQL oracle) while the scan
+    # stays one vectorized numpy pass per Arrow batch instead of an
+    # interpreted per-element lambda per row
+    cos = _query_cos_udf(list(qrow["v"]))(F.col("v"))
     return (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != query_id)
+        e.filter(F.col(id_col) != query_id)
         .select(F.col(id_col), cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
