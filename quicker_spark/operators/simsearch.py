@@ -321,14 +321,16 @@ def lsh_ann_topk(emb: DataFrame, query_id: int, k: int = 10,
     """
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("bucket", lsh_bucket(F.col("v"), n_planes, dim))
-    q = (e.filter(F.col(id_col) == query_id)
-          .select(F.col("v").alias("qv"), F.col("bucket").alias("qb")))
-    cos = cosine(F.col("v"), F.col("qv"))
-    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb")))
+    qrow = (e.filter(F.col(id_col) == query_id)
+             .select("v", "bucket").head())
+    if qrow is None:
+        return emb.sparkSession.createDataFrame([], f"{id_col} long, cos double")
+    qv, qb = list(qrow["v"]), int(qrow["bucket"])
+    cos = _query_cos_udf(qv)(F.col("v"))
+    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb)))
     max_ham = 0 if probes <= 1 else 1
     return (
-        e.crossJoin(F.broadcast(q))
-        .filter((hamming <= max_ham) & (F.col(id_col) != query_id))
+        e.filter((hamming <= max_ham) & (F.col(id_col) != query_id))
         .select(F.col(id_col), cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
@@ -459,7 +461,7 @@ def lsh_ann_topk_indexed(spark, ann_dir: str, query_id: int, k: int = 10,
         buckets = [b for _s, b in ranked[:max(1, probes)]]
         c = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
         cond = c if cond is None else (cond | c)
-    cos = cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in qv]))
+    cos = _query_cos_udf(qv)(F.col("v"))
     return (
         e.filter(cond)
         .filter(F.col(id_col) != query_id)
