@@ -208,6 +208,23 @@ def test_near_pairs_exactly_once_across_buckets(spark):
     assert all(abs(r.cos - 1.0) < 1e-12 for r in out)
 
 
+def test_near_pairs_verify_modes_bit_identical(spark):
+    """verify='bucket' (bucket-local all-pairs) and verify='pairs'
+    (candidate join + Arrow pair scoring) must return the same pairs with
+    bit-identical cosines — both use the ascending-d fold."""
+    from quicker_spark.operators import simsearch
+
+    rows = [(i, [float((i * 7 + d * 3) % 5 - 2) for d in range(64)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucket = {(r.a, r.b): r.cos
+              for r in simsearch.near_pairs_lsh(emb, threshold=0.3).collect()}
+    pairs = {(r.a, r.b): r.cos
+             for r in simsearch.near_pairs_lsh(
+                 emb, threshold=0.3, verify="pairs").collect()}
+    assert bucket == pairs and len(bucket) > 0
+
+
 def test_near_pairs_blocked_verify_matches_unblocked(spark, monkeypatch):
     """A tiny _VERIFY_BLOCK forces the hot-bucket chunked path; results
     must be identical to the single-block run."""
