@@ -122,6 +122,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     sub-quadratic LSH candidate join. The band hash is high-cardinality, so
     the shuffle is balanced; a pathological bucket (thousands of identical
     docs) is exactly the case where the pairs ARE all near-dups.
+
+    Exactly-once WITHOUT a ``distinct`` over the candidate set: each band
+    row carries the doc's k signature values, so a pair colliding in m
+    bands is kept only where its FIRST colliding band matches (earlier
+    bands must differ in >= 1 signature slot) — a filter pipelined into
+    the join stage instead of a second full shuffle of the candidates.
     """
     r = k // bands
     keys = F.array(*[
@@ -133,14 +139,24 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     # one pass over sigs: the band index is salted into each key, so a
     # single explode replaces a `bands`-way union (which would recompute
     # the signature aggregation per branch)
-    band_rows = sigs.select(F.col(id_col), F.explode(keys).alias("band_key"))
+    sig_cols = [F.col(f"sig_{i}") for i in range(k)]
+    band_rows = sigs.select(
+        F.col(id_col), *sig_cols,
+        F.posexplode(keys).alias("band", "band_key"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
+    first = F.lit(True)
+    for bj in range(bands - 1):
+        differs = F.lit(False)
+        for j in range(r):
+            differs = differs | (F.col(f"a.sig_{bj * r + j}")
+                                 != F.col(f"b.sig_{bj * r + j}"))
+        first = first & ((F.lit(bj) >= F.col("a.band")) | differs)
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(first)
         .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
-        .distinct()
     )
 
 
