@@ -308,12 +308,17 @@ def q_doc_stats(spark, sf_dir):
 
 
 def q_term_df(spark, sf_dir):
-    """Global document frequency per term (idf input)."""
+    """Global document frequency per term (idf input).
+
+    Per-doc term dedup happens map-side (``array_distinct`` on the token
+    array) so the only shuffle is the term aggregation with map-side
+    combine — not a (doc, term)-distinct exchange followed by a second
+    groupBy shuffle."""
     from quicker_spark.functions.tokenize import tokenize_col
     return (
         documents(spark, sf_dir)
-        .select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
-        .distinct()
+        .select(F.explode(F.array_distinct(tokenize_col(F.col("text"))))
+                .alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
 
