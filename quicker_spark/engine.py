@@ -222,6 +222,11 @@ def _make_bool_kernel(query_json: str, on: int, off: int, or_flags: tuple,
     return kernel
 
 
+# hydrate() is a point lookup; anything bigger than this is a misuse of
+# the collect-based path and must go through hydrate_join instead
+_HYDRATE_MAX = 10_000
+
+
 class SearchEngine:
     """Load an index directory built by :func:`quicker_spark.operators.build.build_index`."""
 
@@ -293,12 +298,18 @@ class SearchEngine:
         else:
             # explicit pruned modes are only defined for flat queries —
             # silently flattening And(Or(a,b), c) into an intersection of
-            # all leaves would return wrong results with no error
-            if mode == "conj" and not _is_flat_and(q):
+            # all leaves would return wrong results with no error. The
+            # check covers the internal '*_auto' spellings too so no mode
+            # string can smuggle a nested tree past the guard.
+            if mode not in ("wand", "conj", "taat", "wand_auto", "conj_auto"):
+                raise ValueError(
+                    f"unknown mode {mode!r}: expected 'auto', 'wand', "
+                    "'conj', or 'taat'")
+            if mode in ("conj", "conj_auto") and not _is_flat_and(q):
                 raise ValueError(
                     "mode='conj' requires a flat AND-of-terms query; "
                     "use mode='auto' or 'taat' for nested trees")
-            if mode == "wand" and not _is_flat_or(q):
+            if mode in ("wand", "wand_auto") and not _is_flat_or(q):
                 raise ValueError(
                     "mode='wand' requires a flat OR-of-terms query; "
                     "use mode='auto' or 'taat' for nested trees")
@@ -427,8 +438,14 @@ class SearchEngine:
         READS every docs partition: at 10^12 docs that is a full
         forward-index scan to fetch k payloads. For unbounded hit sets
         (boolean search) use :meth:`hydrate_join` — collecting those
-        would put data-sized results on the driver."""
-        rows = hits.collect()
+        would put data-sized results on the driver; passing one here
+        raises rather than silently collecting a data-sized result."""
+        rows = hits.limit(_HYDRATE_MAX + 1).collect()
+        if len(rows) > _HYDRATE_MAX:
+            raise ValueError(
+                f"hydrate() is a point lookup for post-limit hits "
+                f"(> {_HYDRATE_MAX} rows supplied); use hydrate_join() "
+                "for unbounded hit sets")
         hits_local = (self.spark.createDataFrame(rows, hits.schema)
                       if rows else hits.limit(0))
         ids = [int(r["doc_id"]) for r in rows]

@@ -439,9 +439,9 @@ class _FilteredBlocks:
     """Lazy per-block decode + bit-filter + idf*u cache for one term.
 
     Adaptive decode granularity: selective queries touch few blocks, so
-    blocks decode individually on demand; but once a quarter of the
-    term's blocks have missed the cache (a dense, barely-prunable term),
-    the whole stream is decoded in ONE vectorized varbyte pass per
+    blocks decode individually on demand; but once ~3% of the term's
+    blocks have missed the cache (min 4 misses — a dense, barely-prunable
+    term), the whole stream is decoded in ONE vectorized varbyte pass per
     stream and later gets serve pre-sliced views — per-block decode is
     ~10 numpy dispatches per 128 entries, which dominated the dense case.
     """

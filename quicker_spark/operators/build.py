@@ -84,6 +84,25 @@ class IndexConfig:
             return max(1, int(self.n_salts))
         return max(1, self.seg_docs // 500_000)
 
+    @classmethod
+    def from_stats(cls, stats: dict) -> "IndexConfig":
+        """Reconstruct the build configuration an existing index was
+        created with from its own ``stats.json`` — every cfg field that
+        shapes the on-disk layout is persisted there, so maintenance and
+        streaming compaction can never silently rebuild a generation
+        with mismatched geometry."""
+        return cls(
+            seg_docs=int(stats["seg_docs"]),
+            n_salts=int(stats["n_salts"]),
+            block_size=int(stats["block_size"]),
+            k1=float(stats["k1"]), b=float(stats["b"]),
+            wave_segments=int(stats.get("wave_segments", 64)),
+            fields=tuple(stats.get("fields", ("content", "repo", "path",
+                                              "lang"))),
+            id_col=stats.get("id_col"),
+            tf_mode=stats.get("tf_mode", "arrow_pairs"),
+        )
+
 
 POSTINGS_SCHEMA = T.StructType([
     T.StructField("df", T.LongType()),

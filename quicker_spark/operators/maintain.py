@@ -80,19 +80,6 @@ def _write_stats(index_dir: str, stats: dict) -> None:
         json.dump(stats, fh)
 
 
-def _cfg_from_stats(stats: dict) -> IndexConfig:
-    return IndexConfig(
-        seg_docs=int(stats["seg_docs"]),
-        n_salts=int(stats.get("n_salts", 16)),
-        block_size=int(stats["block_size"]),
-        k1=float(stats["k1"]), b=float(stats["b"]),
-        wave_segments=int(stats.get("wave_segments", 64)),
-        fields=tuple(stats["fields"]),
-        id_col=stats.get("id_col"),
-        tf_mode=stats.get("tf_mode", "arrow_pairs"),
-    )
-
-
 # the physical commit goes through the io format seam
 # (io.commit_partition_ops): path layout = staged directory swaps;
 # a deployment that registered an Iceberg backend
@@ -147,15 +134,22 @@ def _stage_docs(docs_kept: DataFrame, affected: set[int],
     marker is on disk."""
     staging = os.path.join(index_dir, _DOCS_STAGING)
     shutil.rmtree(staging, ignore_errors=True)
-    after = {int(r["segment_id"]): {"n": int(r["n"]),
-                                    "len": int(r["len"] or 0)}
-             for r in docs_kept.groupBy("segment_id")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("doc_len").alias("len")).collect()}
     (docs_kept.sortWithinPartitions("doc_id")
      .write.mode("overwrite")
      .partitionBy("segment_id")
      .parquet(staging))
+    # the replacement plan (anti-join over the affected partitions) runs
+    # exactly once — the per-segment after-aggregates are re-read from
+    # the files just staged, a scan of only the replacement rows
+    spark = docs_kept.sparkSession
+    after: dict[int, dict] = {}
+    if any(e.startswith("segment_id=") for e in os.listdir(staging)):
+        after = {int(r["segment_id"]): {"n": int(r["n"]),
+                                        "len": int(r["len"] or 0)}
+                 for r in spark.read.parquet(staging)
+                 .groupBy("segment_id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("doc_len").alias("len")).collect()}
     ops = []
     for s in sorted(affected):
         if after.get(s, {}).get("n", 0) > 0:
@@ -196,7 +190,7 @@ def _rebuild_waves(spark: SparkSession, index_dir: str, stats: dict,
     segments actually present in the docs table, so deleting a doc_id
     that never existed can't leave a junk empty wave behind). Idempotent:
     safe to replay after a crash."""
-    cfg = _cfg_from_stats(stats)
+    cfg = IndexConfig.from_stats(stats)
     avgdl = float(stats["avgdl"])  # rebuilt waves get a fresh avgdl_ref;
     # untouched waves keep their stale one — bounds stay admissible
     # (with_bounds' corner correction), just marginally less tight

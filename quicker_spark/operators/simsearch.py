@@ -266,32 +266,37 @@ def _bucket_verify_fn(threshold: float, r: int, id_col: str):
         norms = np.sqrt(sq)
         outs = []
         block = _VERIFY_BLOCK
+        # tile BOTH pair dimensions: a hot bucket of n rows must never
+        # allocate an n-wide tile, only block x block (upper triangle,
+        # j-tile starting at the i-tile)
         for i0 in range(0, n, block):
             i1 = min(i0 + block, n)
-            # pairwise dots of rows [i0:i1) x all rows, ascending-d fold
-            C = np.zeros((i1 - i0, n))
-            for d in range(V.shape[1]):
-                C += V[i0:i1, d:d + 1] * V[None, :, d]
-            cos = C / (norms[i0:i1, None] * norms[None, :])
-            jj, kk = np.nonzero(cos >= threshold)
-            glob = jj + i0
-            upper = kk > glob              # each unordered pair once, a < b
-            jj, kk, glob = jj[upper], kk[upper], glob[upper]
-            if not len(jj):
-                continue
-            # exactly-once across buckets: keep only pairs whose first
-            # colliding band is this bucket's band
-            x = sigs[glob] ^ sigs[kk]
-            first = np.ones(len(jj), dtype=bool)
-            for bj in range(band):
-                first &= ((x >> (bj * r)) & mask) != 0
-            if not first.any():
-                continue
-            outs.append(pd.DataFrame({
-                "a": ids[glob[first]],
-                "b": ids[kk[first]],
-                "cos": cos[jj[first], kk[first]],
-            }))
+            for j0 in range(i0, n, block):
+                j1 = min(j0 + block, n)
+                # pairwise dots of rows [i0:i1) x [j0:j1), ascending-d fold
+                C = np.zeros((i1 - i0, j1 - j0))
+                for d in range(V.shape[1]):
+                    C += V[i0:i1, d:d + 1] * V[None, j0:j1, d]
+                cos = C / (norms[i0:i1, None] * norms[None, j0:j1])
+                jj, kk = np.nonzero(cos >= threshold)
+                gi, gk = jj + i0, kk + j0
+                upper = gk > gi            # each unordered pair once, a < b
+                jj, kk, gi, gk = jj[upper], kk[upper], gi[upper], gk[upper]
+                if not len(jj):
+                    continue
+                # exactly-once across buckets: keep only pairs whose first
+                # colliding band is this bucket's band
+                x = sigs[gi] ^ sigs[gk]
+                first = np.ones(len(jj), dtype=bool)
+                for bj in range(band):
+                    first &= ((x >> (bj * r)) & mask) != 0
+                if not first.any():
+                    continue
+                outs.append(pd.DataFrame({
+                    "a": ids[gi[first]],
+                    "b": ids[gk[first]],
+                    "cos": cos[jj[first], kk[first]],
+                }))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     return verify
@@ -515,7 +520,11 @@ def lsh_ann_topk_indexed(spark, ann_dir: str, query_id: int, k: int = 10,
     if probes is None:
         probes = 2 * n_planes
     e = spark.read.parquet(ann_dir)
-    qrow = e.filter(F.col(id_col) == query_id).select("v").head()
+    # the index stores n_tables copies of every vector; the point lookup
+    # needs one, so prune to table 0's partition directories (the true
+    # bucket is unknowable before the vector is read, the table is not)
+    qrow = (e.filter((F.col("tbl") == 0) & (F.col(id_col) == query_id))
+            .select("v").head())
     if qrow is None:
         return spark.createDataFrame([], f"{id_col} long, cos double")
     qv = list(qrow["v"])

@@ -68,6 +68,35 @@ def _record_batch(staging: str, batch_id: int) -> set[int]:
     return staged
 
 
+def _stage_cfg(staging: str, cfg: IndexConfig) -> None:
+    """Persist the stream's build config next to the staged generation so
+    a post-crash :func:`flush_ingest` bootstraps with the SAME geometry."""
+    path = os.path.join(staging, "_ingest_cfg.json")
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            json.dump({
+                "seg_docs": cfg.seg_docs, "n_salts": cfg.effective_salts(),
+                "block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b,
+                "wave_segments": cfg.wave_segments, "fields": list(cfg.fields),
+                "id_col": cfg.id_col, "tf_mode": cfg.tf_mode,
+            }, fh)
+
+
+def _resolve_cfg(index_dir: str) -> IndexConfig:
+    """Config for a flush the caller didn't pass one to: the live
+    index's stats.json if it exists, else the staged generation's own
+    persisted config, else defaults (brand-new index, nothing staged)."""
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            return IndexConfig.from_stats(json.load(fh))
+    staged_cfg = os.path.join(_staging_dir(index_dir), "_ingest_cfg.json")
+    if os.path.exists(staged_cfg):
+        with open(staged_cfg) as fh:
+            return IndexConfig.from_stats(json.load(fh))
+    return IndexConfig()
+
+
 def _log_event(index_dir: str, event: dict) -> None:
     with open(_events_path(index_dir), "a") as fh:
         fh.write(json.dumps(event) + "\n")
@@ -125,8 +154,12 @@ def flush_ingest(spark: SparkSession, index_dir: str,
                  key_cols=DOC_KEY_COLS) -> bool:
     """Compact a partial staged generation left behind by a drained
     stream (e.g. ``availableNow`` runs whose batch count is not a
-    multiple of ``compact_every``). Returns True if a compaction ran."""
-    return _compact(spark, index_dir, cfg or IndexConfig(), key_cols)
+    multiple of ``compact_every``). Returns True if a compaction ran.
+    With ``cfg=None`` the configuration is recovered from the index's
+    stats.json (or the staged generation's persisted config), never
+    silently replaced by defaults."""
+    return _compact(spark, index_dir, cfg or _resolve_cfg(index_dir),
+                    key_cols)
 
 
 def stream_ingest(spark: SparkSession, source: DataFrame, index_dir: str,
@@ -157,6 +190,7 @@ def stream_ingest(spark: SparkSession, source: DataFrame, index_dir: str,
         staging = _staging_dir(index_dir)
         (batch_df.withColumn(_BATCH_COL, F.lit(int(batch_id)))
          .write.mode("append").parquet(staging))
+        _stage_cfg(staging, cfg)
         staged = _record_batch(staging, batch_id)
         if len(staged) >= compact_every:
             _compact(spark, index_dir, cfg, key_cols)
