@@ -213,6 +213,11 @@ UPSERT_TERMS = ("zebra", "table")
 
 SQL_DOCS_BASE = "SELECT doc_id, text FROM documents"
 
+# searcher-facade fixtures (q_searcher_top10)
+SEARCHER_KEYWORDS = ("table", "merge")
+SEARCHER_ALT_KEYWORDS = ("query",)
+SEARCHER_ID_RANGE = (0, 350)
+
 
 def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
                   require_all=False, project=None) -> str:
@@ -567,6 +572,41 @@ def q_embed_near_pairs(spark, sf_dir):
     return p.select("a", "b", x4(F.col("cos")).alias("cos_x4"))
 
 
+def q_searcher_top10(spark, sf_dir):
+    """Q10-Q14 through the search template (reference: demo/job/search/
+    searcher.go:62-98): TWO recall strategies fan out (keyword AND +
+    a pluggable alt-keyword recaller), each bit-filtered to the 'en'
+    class (orFlags through the facade), merged with best-score-wins
+    business-id dedup, then the post-recall range filter chain and the
+    final rerank/limit. The oracle reproduces the whole pipeline in SQL:
+    two en-filtered BM25 top-10 subqueries, max-score dedup, id range,
+    order, limit."""
+    from quicker_spark.plans.searcher import (
+        KeywordRecaller, Recaller, SearchContext, Searcher, range_filter)
+    from quicker_spark.plans.term_query import TermQuery
+
+    class AltKeywordRecaller(Recaller):
+        """Second strategy: keywords from ctx.extra (reference analog:
+        recaller/keyword_author.go — a differently-sourced query)."""
+        name = "alt_keyword"
+
+        def query(self, ctx):
+            words = ctx.extra.get("alt_keywords", ())
+            if not words:
+                return TermQuery()
+            return And(*[NewTermQuery("content", w) for w in words])
+
+    eng = get_engine(spark, sf_dir)
+    ctx = SearchContext(keywords=SEARCHER_KEYWORDS,
+                        class_bits=LANG_BITS["en"],
+                        extra={"alt_keywords": SEARCHER_ALT_KEYWORDS})
+    s = Searcher(engine=eng,
+                 recallers=(KeywordRecaller(), AltKeywordRecaller()),
+                 filters=(range_filter("doc_id", *SEARCHER_ID_RANGE),))
+    out = s.search(ctx, k=10)
+    return out.select("doc_id", x4(F.col("score")).alias("score_x4"), "lang")
+
+
 _ANN_DIRS: dict[str, str] = {}
 
 
@@ -614,6 +654,7 @@ QUERIES = {
     "bm25_top10_taat": q_bm25_top10_taat,
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_batch_top10": q_bm25_batch_top10,
+    "searcher_top10": q_searcher_top10,
     "delete_then_search": q_delete_then_search,
     "upsert_then_search": q_upsert_then_search,
     "resume_decode": q_resume_decode,
@@ -644,6 +685,30 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
+
+# searcher facade: per-recaller en-filtered BM25 top-10 (full-precision
+# score — canonicalized only after the cross-recaller max), then
+# best-score dedup, id-range filter, rerank, limit
+_SQL_EN_TOP10 = ("SELECT s.doc_id, s.score FROM scores s "
+                 "JOIN documents d ON s.doc_id = d.doc_id "
+                 "WHERE d.lang = 'en' "
+                 "ORDER BY s.score DESC, s.doc_id LIMIT 10")
+SQL_SEARCHER = f"""
+WITH u AS (
+  SELECT * FROM ({sql_bm25_topk(SEARCHER_KEYWORDS, require_all=True,
+                                project=_SQL_EN_TOP10)})
+  UNION ALL
+  SELECT * FROM ({sql_bm25_topk(SEARCHER_ALT_KEYWORDS,
+                                project=_SQL_EN_TOP10)})
+),
+ded AS (SELECT doc_id, max(score) AS score FROM u GROUP BY doc_id)
+SELECT ded.doc_id, round(ded.score * 10000.0)::bigint AS score_x4, d.lang
+FROM ded JOIN documents d ON ded.doc_id = d.doc_id
+WHERE ded.doc_id >= {SEARCHER_ID_RANGE[0]}
+  AND ded.doc_id <= {SEARCHER_ID_RANGE[1]}
+ORDER BY ded.score DESC, ded.doc_id
+LIMIT 10
+"""
 
 ORACLE_SQL = {
     "term_tf": (
@@ -677,6 +742,7 @@ ORACLE_SQL = {
                          "round(score * 10000.0)::bigint AS score_x4 "
                          "FROM scores ORDER BY score DESC, doc_id LIMIT 10")))
         for qid, terms in BATCH_QUERIES.items()),
+    "searcher_top10": SQL_SEARCHER,
     "delete_then_search": sql_bm25_topk(
         base=f"{SQL_DOCS_BASE} WHERE doc_id NOT IN {SQL_DEL_IDS_IN}"),
     "upsert_then_search": sql_bm25_topk(UPSERT_TERMS,
