@@ -454,12 +454,21 @@ class SearchEngine:
 
     def hydrate_join(self, hits: DataFrame) -> DataFrame:
         """Lazy hydration for UNBOUNDED hit sets (all boolean matches —
-        the reference hydrates every match, indexer.go:126-157): a plain
+        the reference hydrates every match, indexer.go:126-157): a
         distributed join against the forward index, nothing collected.
-        Hits stay executor-side; Spark picks broadcast vs shuffle join
-        from its own size estimate."""
-        return hits.join(self.docs.select(*self._PAYLOAD_COLS),
-                         "doc_id", "inner")
+        The hits side derives ``segment_id`` (doc_id // seg_docs — the
+        engine's id→partition law) and joins on (segment_id, doc_id), so
+        the docs scan is prunable: when the hits side broadcasts, AQE's
+        dynamic partition pruning drops every docs directory with no
+        hit; a shuffle join on the composite key is no worse than the
+        doc_id-only join. Hits stay executor-side either way."""
+        seg_docs = int(self.stats["seg_docs"])
+        keyed = hits.withColumn(
+            "segment_id",
+            (F.col("doc_id") / F.lit(seg_docs)).cast("long"))
+        payload = self.docs.select("segment_id", *self._PAYLOAD_COLS)
+        return (keyed.join(payload, ["segment_id", "doc_id"], "inner")
+                .drop("segment_id"))
 
     def _empty_hits(self, hydrate: bool) -> DataFrame:
         df = self.spark.createDataFrame([], "doc_id long, score double")

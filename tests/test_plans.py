@@ -72,6 +72,25 @@ def test_hydration_scan_is_partition_pruned(eng):
     assert scan, plan
 
 
+def test_hydrate_join_keys_include_segment(eng):
+    """hydrate_join (unbounded boolean hydration) must join on
+    (segment_id, doc_id): the composite key makes the docs scan prunable
+    — dynamic partition pruning drops hit-free segment directories when
+    the hits side broadcasts — and it costs nothing when the join
+    shuffles. Also certifies the derived key is the id→partition law:
+    the join must not drop or duplicate any boolean match."""
+    bool_hits = eng.search_bool(Or(NewTermQuery("content", "def")))
+    hydrated = eng.hydrate_join(bool_hits)
+    plan = _plan(hydrated)
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "segment_id" in ln and "doc_id" in ln]
+    assert join_lines, plan
+    n_bool = bool_hits.count()
+    assert n_bool > 0
+    assert hydrated.count() == n_bool
+    assert "segment_id" not in hydrated.columns
+
+
 def test_lookup_scan_is_partition_pruned(eng):
     plan = _formatted(eng.lookup([3, 7, 150]))
     scan = [ln for ln in plan.splitlines()
