@@ -91,26 +91,42 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     corpus scale, and it no longer grows with k. Plain int64 arithmetic
     (h1 < 2^60, h2 < 2^56, so h1 + 63*h2 < 2^63 — ANSI-overflow-safe
     for k <= 64), portable: any engine computes identical signatures.
-    Explode + groupBy(id) with k `min` aggregates: map-side combine
-    keeps the shuffle at one row per doc.
+
+    ZERO-SHUFFLE plan: a doc's signature is a pure per-row function of
+    its own shingles, so each ``sig_i`` is an ``array_min`` over a
+    ``zip_with`` of two staged per-shingle hash arrays — no explode, no
+    groupBy exchange. Staged projections (shingles, then the two hash
+    arrays) keep the tokenizer and the two md5 passes single-evaluation
+    per row; inlining them into all k consumers would re-hash every
+    shingle k times. Docs with no shingles (< ``shingle`` tokens) are
+    absent, matching the former explode+groupBy semantics. The round-2
+    formulation shuffled one combined row per doc; shuffling anything to
+    compute a row-local function is pure waste at corpus scale — this
+    plan is a single map stage.
     """
     if k > 64:
         raise ValueError(f"k ({k}) > 64 would overflow the int64 "
                          "double-hash h1 + i*h2")
-    sh = df.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle)).alias("s")
-    ).select(
+    sh = df.select(F.col(id_col),
+                   shingles_col(F.col(text_col), shingle).alias("s"))
+    hashed = sh.select(
         F.col(id_col),
-        md5_long(F.col("s")).alias("h1"),
+        F.transform(F.col("s"), md5_long).alias("h1s"),
         # independent second hash, 56-bit so i*h2 stays in range
-        F.conv(F.substring(F.md5(F.concat(F.lit("x:"), F.col("s"))), 1, 14),
-               16, 10).cast("long").alias("h2"),
+        F.transform(
+            F.col("s"),
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit("x:"), s)), 1, 14),
+                16, 10).cast("long")).alias("h2s"),
     )
-    aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"sig_{i}")
+    sigs = [
+        F.array_min(F.zip_with(
+            F.col("h1s"), F.col("h2s"),
+            lambda a, b: a + F.lit(i) * b)).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return (hashed.where(F.size(F.col("h1s")) > 0)
+            .select(F.col(id_col), *sigs))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -138,11 +154,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     ])
     # one pass over sigs: the band index is salted into each key, so a
     # single explode replaces a `bands`-way union (which would recompute
-    # the signature aggregation per branch)
+    # the signature aggregation per branch). shuffle_hash: a broadcast
+    # is never right for this SELF-join (both sides are the full
+    # corpus's band rows — at scale neither fits in memory, and at toy
+    # scale broadcasting forfeits the shared shuffle and computes the
+    # shingle-hash pipeline once per side); the hint pins the plan every
+    # size picks at scale anyway.
     sig_cols = [F.col(f"sig_{i}") for i in range(k)]
     band_rows = sigs.select(
         F.col(id_col), *sig_cols,
-        F.posexplode(keys).alias("band", "band_key"))
+        F.posexplode(keys).alias("band", "band_key")).hint("shuffle_hash")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     first = F.lit(True)
