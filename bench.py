@@ -148,6 +148,13 @@ def main() -> None:
     timings["ann_index_build"] = time.time() - t0
     timings["lsh_ann_indexed_top10"] = median_time(
         lambda: simsearch.lsh_ann_topk_indexed(spark, ann_dir, 0, 10).collect())
+    ivf_dir = tempfile.mkdtemp(prefix="quicker_bench_ivf_")
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.time()
+    simsearch.build_ivf_index(emb, ivf_dir)
+    timings["ivf_index_build"] = time.time() - t0
+    timings["ivf_ann_top10"] = median_time(
+        lambda: simsearch.ivf_ann_topk(spark, ivf_dir, 0, 10).collect())
     timings["near_pairs_lsh"] = median_time(
         lambda: simsearch.near_pairs_lsh(emb, threshold=0.5).count(), 1)
     timings["token_stats"] = median_time(
@@ -166,6 +173,7 @@ def main() -> None:
     }
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ann_dir, ignore_errors=True)
+    shutil.rmtree(ivf_dir, ignore_errors=True)
     print(json.dumps(out))
 
 

@@ -645,6 +645,41 @@ def q_lsh_ann_overlap10(spark, sf_dir):
                                  "k long, min_overlap long, ok boolean")
 
 
+_IVF_DIRS: dict[str, str] = {}
+
+
+def _ivf_dir(spark, sf_dir) -> str:
+    key = os.path.normpath(sf_dir)
+    if key not in _IVF_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "quicker_ivf_" + re.sub(r"\W+", "_", key).strip("_")
+            + "_" + _corpus_fingerprint(key),
+        )
+        if not (os.path.exists(os.path.join(out, "_SUCCESS"))
+                and os.path.exists(os.path.join(out, "_ivf_meta.json"))):
+            simsearch.build_ivf_index(embeddings(spark, sf_dir), out)
+        _IVF_DIRS[key] = out
+    return _IVF_DIRS[key]
+
+
+def q_ivf_ann_overlap10(spark, sf_dir):
+    """IVF ANN (sample-trained spherical k-means coarse quantizer,
+    nprobe partition-pruned probe) self-certified against the exact scan
+    exactly like `lsh_ann_overlap10`: the row is (k, min_overlap, ok)
+    with ok = |IVF top-10 ∩ exact top-10| >= 8, the oracle pins
+    ok=true, and the exact side's values are certified by
+    `cosine_top10`. Both collects are k-row control-plane reads."""
+    ivf = simsearch.ivf_ann_topk(spark, _ivf_dir(spark, sf_dir),
+                                 query_id=0, k=10)
+    exact = simsearch.cosine_topk(embeddings(spark, sf_dir), query_id=0, k=10)
+    ivf_ids = {int(r["vec_id"]) for r in ivf.collect()}
+    exact_ids = {int(r["vec_id"]) for r in exact.collect()}
+    n = len(ivf_ids & exact_ids)
+    return spark.createDataFrame([(10, 8, bool(n >= 8))],
+                                 "k long, min_overlap long, ok boolean")
+
+
 QUERIES = {
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
@@ -679,6 +714,7 @@ QUERIES = {
     "cosine_top10": q_cosine_top10,
     "embed_near_pairs": q_embed_near_pairs,
     "lsh_ann_overlap10": q_lsh_ann_overlap10,
+    "ivf_ann_overlap10": q_ivf_ann_overlap10,
 }
 
 
@@ -907,6 +943,9 @@ ORACLE_SQL = {
     # |ANN top-10 ∩ exact top-10| and reports ok = overlap >= 8; a
     # recall regression breaks the hash match.
     "lsh_ann_overlap10": (
+        "SELECT 10::bigint AS k, 8::bigint AS min_overlap, true AS ok"
+    ),
+    "ivf_ann_overlap10": (
         "SELECT 10::bigint AS k, 8::bigint AS min_overlap, true AS ok"
     ),
 }

@@ -252,3 +252,81 @@ def test_ann_probe_honors_meta_id_col(spark, emb, tmp_path_factory):
     simsearch.build_ann_index(renamed, ann_dir, n_planes=4, id_col="emb_id")
     rows = simsearch.lsh_ann_topk_indexed(spark, ann_dir, 0, k=5).collect()
     assert rows and "emb_id" in rows[0].asDict()
+
+
+# -- IVF ANN -------------------------------------------------------------------
+
+
+@needs_testdata
+def test_ivf_recall_at_10(spark, emb, tmp_path_factory):
+    """IVF ANN at the default nprobe must reach recall@10 >= 0.8 vs the
+    exact scan, averaged over queries — the same measured floor as the
+    LSH probe."""
+    from quicker_spark.operators import simsearch
+
+    ivf_dir = str(tmp_path_factory.mktemp("ivf") / "idx")
+    meta = simsearch.build_ivf_index(emb, ivf_dir)
+    assert meta["nlist"] >= 4
+    hits = 0
+    total = 0
+    for qid in (0, 7, 42, 99, 250):
+        exact = {r["vec_id"] for r in
+                 simsearch.cosine_topk(emb, qid, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  simsearch.ivf_ann_topk(spark, ivf_dir, qid, k=10).collect()}
+        hits += len(exact & approx)
+        total += len(exact)
+    assert total > 0
+    assert hits / total >= 0.8, f"recall@10 = {hits / total:.2f}"
+
+
+@needs_testdata
+def test_ivf_probe_is_partition_pruned(spark, emb, tmp_path_factory):
+    """The IVF probe must read only the probed list directories."""
+    from quicker_spark.operators import simsearch
+
+    ivf_dir = str(tmp_path_factory.mktemp("ivfp") / "idx")
+    simsearch.build_ivf_index(emb, ivf_dir)
+    df = simsearch.ivf_ann_topk(spark, ivf_dir, 0, k=10, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "list_id IN" in plan or "PartitionFilters: [list_id" in plan \
+        or "list_id#" in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "list_id" in opt
+
+
+@needs_testdata
+def test_ivf_centroids_deterministic(spark, emb, tmp_path_factory):
+    """Two builds over the same corpus produce identical centroids and
+    identical probe results (the engine's determinism contract)."""
+    import json
+    import os as _os
+
+    from quicker_spark.operators import simsearch
+
+    d1 = str(tmp_path_factory.mktemp("ivf1") / "idx")
+    d2 = str(tmp_path_factory.mktemp("ivf2") / "idx")
+    m1 = simsearch.build_ivf_index(emb, d1)
+    m2 = simsearch.build_ivf_index(emb, d2)
+    assert m1["centroids"] == m2["centroids"]
+    with open(_os.path.join(d1, "_ivf_meta.json")) as fh:
+        assert json.load(fh)["nlist"] == m1["nlist"]
+    r1 = simsearch.ivf_ann_topk(spark, d1, 42, k=10).collect()
+    r2 = simsearch.ivf_ann_topk(spark, d2, 42, k=10).collect()
+    assert [(r.vec_id, r.cos) for r in r1] == [(r.vec_id, r.cos) for r in r2]
+
+
+@needs_testdata
+def test_ivf_query_vec_matches_query_id(spark, emb, tmp_path_factory):
+    """Supplying query_vec (the cluster-scale path: the vector comes from
+    the id-partitioned forward table) must match the by-id lookup."""
+    from quicker_spark.operators import simsearch
+
+    ivf_dir = str(tmp_path_factory.mktemp("ivfq") / "idx")
+    simsearch.build_ivf_index(emb, ivf_dir)
+    qv = emb.filter("vec_id = 7").select("embedding").head()["embedding"]
+    by_id = simsearch.ivf_ann_topk(spark, ivf_dir, 7, k=10).collect()
+    by_vec = simsearch.ivf_ann_topk(spark, ivf_dir, 7, k=10,
+                                    query_vec=list(qv)).collect()
+    assert [(r.vec_id, r.cos) for r in by_id] == \
+        [(r.vec_id, r.cos) for r in by_vec]
