@@ -40,9 +40,28 @@ def is_path(location: str) -> bool:
     return "/" in location or location.startswith(("file:", "s3:", "hdfs:"))
 
 
+# the corpus shape the north rule pins (BASELINE.json input_hint); used
+# only for the CSV source, where nothing else carries the schema
+CORPUS_SCHEMA = ("repo string, path string, commit string, "
+                 "lang string, content string")
+
+
 def read_corpus(spark: SparkSession, location: str) -> DataFrame:
-    """Read a corpus from a parquet path or a catalog (Iceberg) table."""
+    """Read a corpus from a parquet path, a ``.csv`` path, or a catalog
+    (Iceberg) table.
+
+    CSV recreates the reference's only bulk source (a typed CSV scan,
+    demo/job/build_index.go:23-102) with the north-rule corpus schema;
+    ``multiLine`` + quote-escape because source-code ``content`` carries
+    newlines and quotes (the reference sidesteps this by keeping payloads
+    on one line; a general engine cannot)."""
     if is_path(location):
+        if location.rstrip("/").endswith(".csv"):
+            return (spark.read.schema(CORPUS_SCHEMA)
+                    .option("header", True)
+                    .option("multiLine", True)
+                    .option("escape", '"')
+                    .csv(location))
         return spark.read.parquet(location)
     return spark.read.table(location)
 

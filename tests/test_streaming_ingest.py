@@ -131,6 +131,31 @@ def test_io_seam(spark, tmp_path):
     assert read_corpus(spark, p).count() == 20
 
 
+def test_csv_corpus_source(spark, tmp_path):
+    """The reference's bulk source is a typed CSV scan
+    (demo/job/build_index.go:23-102): a .csv location must round-trip the
+    north-rule corpus schema, including content with embedded newlines,
+    quotes, and commas (source code)."""
+    import pandas as pd
+
+    from quicker_spark.io import CORPUS_SCHEMA, read_corpus
+
+    rows = pd.DataFrame({
+        "repo": ["r0", "r1"],
+        "path": ["a/b.py", "c,d.go"],
+        "commit": ["deadbeef", "cafebabe"],
+        "lang": ["py", "go"],
+        "content": ['def f():\n    return "x,y"\n', "package main\n"],
+    })
+    p = str(tmp_path / "corpus.csv")
+    rows.to_csv(p, index=False)
+    got = read_corpus(spark, p)
+    assert [f.simpleString() for f in got.schema.fields] == \
+        [c.strip().replace(" ", ":") for c in CORPUS_SCHEMA.split(",")]
+    back = {r["path"]: r["content"] for r in got.collect()}
+    assert back == dict(zip(rows["path"], rows["content"]))
+
+
 def test_compact_survives_stranded_marker(spark, dirs, tmp_path):
     """A crash that strands _staged_batches.json with no readable data
     must not wedge compaction: flush cleans up and reports nothing
