@@ -26,7 +26,8 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True,
-                    help="parquet path, or fixtures:N for the synthetic corpus")
+                    help="parquet or .csv path, catalog table identifier, "
+                         "or fixtures:N for the synthetic corpus")
     ap.add_argument("--out", required=True, help="index output directory")
     ap.add_argument("--seg-docs", type=int, default=100_000)
     ap.add_argument("--salts", type=int, default=16)
