@@ -511,7 +511,8 @@ def q_exact_dup(spark, sf_dir):
 
 def q_token_stats(spark, sf_dir):
     t = textops.token_stats(documents(spark, sf_dir))
-    return t.select("doc_id", "n_tokens", "n_uniq", x4(F.col("ttr")).alias("ttr_x4"))
+    return t.select("doc_id", "n_tokens", "n_uniq",
+                    x4(F.col("ttr")).alias("ttr_x4"), "n_ws", "n_bpe")
 
 
 def q_quality(spark, sf_dir):
@@ -834,11 +835,16 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "token_stats": (
-        f"WITH arr AS ({SQL_ARR}) "
+        "WITH arr AS (SELECT doc_id, text, "
+        "regexp_extract_all(lower(text), '[a-z0-9_]+') AS a "
+        "FROM documents) "
         "SELECT doc_id, len(a)::bigint AS n_tokens, "
         "len(list_distinct(a))::bigint AS n_uniq, "
         "round(len(list_distinct(a))::double / nullif(len(a), 0)::double"
-        " * 10000.0)::bigint AS ttr_x4 "
+        " * 10000.0)::bigint AS ttr_x4, "
+        r"len(regexp_extract_all(text, '[^ \t\n\r\f]+'))::bigint AS n_ws, "
+        r"len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]'))::bigint AS n_bpe "
         "FROM arr"
     ),
     "quality": (

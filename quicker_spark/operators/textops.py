@@ -255,19 +255,37 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 STOPWORDS = ("a", "the")
 
 
+# Two auxiliary counting modes beside the engine tokenizer: whitespace
+# tokens (non-whitespace runs — symmetric in any regex engine, no
+# trailing-empty-split ambiguity) and a BPE-ish segmentation (letter
+# runs | digit runs | single non-alnum glyph — the shape of a byte-pair
+# pre-tokenizer's coarsest pass). Escapes are regex-level (backslash-t),
+# identical in Java regex and RE2, so the DuckDB oracle counts the same
+# pieces.
+WS_TOKEN_RE = r"[^ \t\n\r\f]+"
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_uniq, ttr): token count, vocabulary size,
-    type-token ratio."""
+    """(id, n_tokens, n_uniq, ttr, n_ws, n_bpe): engine-tokenizer count,
+    vocabulary size, type-token ratio, plus whitespace-token and BPE-ish
+    sub-token counts (the two counting modes a training-data pipeline
+    budgets with)."""
     toks = tokenize_col(F.col(text_col))
     n = F.size(toks).cast("long")
     nu = F.size(F.array_distinct(toks)).cast("long")
+    n_ws = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(WS_TOKEN_RE), F.lit(0))).cast("long")
+    n_bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
     # Guard the division: Spark's non-ANSI x/0 yields NULL while IEEE
     # engines yield NaN — an explicit NULL on zero tokens canonicalizes
     # identically everywhere (oracle uses nullif).
     return df.select(
         F.col(id_col), n.alias("n_tokens"), nu.alias("n_uniq"),
         F.when(n > 0, nu.cast("double") / n.cast("double")).alias("ttr"),
+        n_ws.alias("n_ws"), n_bpe.alias("n_bpe"),
     )
 
 
