@@ -646,6 +646,13 @@ def q_lsh_ann_overlap10(spark, sf_dir):
                                  "k long, min_overlap long, ok boolean")
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD'03 rolling-hash scheme) — (doc_id,
+    fp) with one row per distinct selected k-gram hash; the DuckDB twin
+    reproduces grams, hashes, window minima, and the distinct."""
+    return textops.winnow_fingerprints(documents(spark, sf_dir))
+
+
 _IVF_DIRS: dict[str, str] = {}
 
 
@@ -716,6 +723,7 @@ QUERIES = {
     "embed_near_pairs": q_embed_near_pairs,
     "lsh_ann_overlap10": q_lsh_ann_overlap10,
     "ivf_ann_overlap10": q_ivf_ann_overlap10,
+    "winnow_fp": q_winnow_fp,
 }
 
 
@@ -953,5 +961,17 @@ ORACLE_SQL = {
     ),
     "ivf_ann_overlap10": (
         "SELECT 10::bigint AS k, 8::bigint AS min_overlap, true AS ok"
+    ),
+    # winnowing: k=5 grams, w=4 windows; slice bounds are 1-based
+    # inclusive in DuckDB, so hs[p : p+3] is the 4-hash window at p
+    "winnow_fp": (
+        "WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents), "
+        "h AS (SELECT doc_id, list_transform("
+        "generate_series(1, greatest(length(t) - 4, 1)), "
+        f"i -> {_sql_h60('substr(t, i, 5)')}) AS hs FROM lt), "
+        "sel AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(len(hs) - 3, 1)), "
+        "p -> list_min(hs[p : p + 3]))) AS fps FROM h) "
+        "SELECT doc_id, fp FROM sel, unnest(fps) AS u(fp)"
     ),
 }

@@ -356,6 +356,37 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
     return g.groupBy(id_col).agg(F.min(md5_long(F.col("g"))).alias("fp"))
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """(id, fp): winnowing fingerprint set — the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken (SIGMOD'03, the MOSS algorithm): hash every
+    character ``k``-gram, slide a window of ``w`` consecutive hashes, and
+    select each window's minimum; the distinct selected values are the
+    document's fingerprints. Guarantees any shared substring of length
+    >= k + w - 1 contributes at least one common fingerprint, so an
+    equi-join on ``fp`` finds partial overlaps (plagiarized/vendored code
+    blocks) that whole-document hashes miss — the locality the
+    single-window :func:`doc_fingerprint` gives up.
+
+    ZERO-SHUFFLE plan, like the SimHash/MinHash rewrites: grams, hashes
+    (staged once — one md5 pass per gram, not per window), window minima,
+    and the distinct are all row-local higher-order expressions; the
+    explode is a map-side fan-out. Docs shorter than k yield one gram
+    (the whole text); fewer than w grams yield one window.
+    """
+    txt = F.lower(F.col(text_col))
+    n_g = F.greatest(F.length(txt) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n_g),
+                        lambda i: txt.substr(i, F.lit(k)))
+    hashed = df.select(F.col(id_col), F.transform(grams, md5_long).alias("hs"))
+    n_w = F.greatest(F.size(F.col("hs")) - (w - 1), F.lit(1))
+    wins = F.transform(F.sequence(F.lit(1), n_w),
+                       lambda p: F.array_min(F.slice(F.col("hs"), p, w)))
+    return hashed.select(F.col(id_col),
+                         F.explode(F.array_distinct(wins)).alias("fp"))
+
+
 def binary_meta(df: DataFrame, id_col: str = "doc_id",
                 payload_col: str = "text") -> DataFrame:
     """(id, n_bytes, sha): opaque-payload plumbing — byte length + sha256

@@ -140,6 +140,29 @@ def test_simhash_is_shuffle_free(spark):
     assert plan.count("md5") == 1
 
 
+def test_winnow_is_shuffle_free_and_local(spark):
+    """Winnowing fingerprints are a per-row function: the plan must be a
+    single map stage (no Exchange), with the k-gram md5 pass staged once
+    (not re-hashed per window). Also certifies the winnowing guarantee:
+    two docs sharing a substring of length >= k + w - 1 (= 8) share at
+    least one fingerprint, and disjoint-alphabet docs share none."""
+    from quicker_spark.operators.textops import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "qwjdkz SHAREDBLOCK vmxpfu"),
+         (1, "rtylgh SHAREDBLOCK nbcoea"),
+         (2, "zzzzzzzzzzzzzzzzzzzzzzzzz")],
+        "doc_id long, text string")
+    plan = _plan(winnow_fingerprints(df))
+    assert "Exchange" not in plan
+    assert plan.count("md5") == 1
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]          # shared >= k+w-1 substring -> shared fp
+    assert not (fps[0] & fps[2])    # disjoint content -> disjoint fps
+
+
 def test_lsh_candidates_is_equi_join(spark):
     """LSH band candidate generation must also stay an equi-join."""
     from quicker_spark.operators.textops import (
