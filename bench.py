@@ -159,6 +159,8 @@ def main() -> None:
         lambda: simsearch.near_pairs_lsh(emb, threshold=0.5).count(), 1)
     timings["token_stats"] = median_time(
         lambda: textops.token_stats(docs).agg(F.sum("n_tokens")).collect(), 1)
+    timings["winnow_fp"] = median_time(
+        lambda: textops.winnow_fingerprints(docs).count(), 1)
 
     total = time.time() - t_suite
     out = {
