@@ -23,7 +23,25 @@ of a partitioned segments table, noted as future work.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Crash-atomic JSON write: temp file in the same directory, fsync,
+    ``os.rename`` over the target (atomic on POSIX). Every commit marker
+    and stats file in the engine goes through this — a truncate-in-place
+    ``json.dump`` that dies mid-write leaves unparsable JSON that wedges
+    every later maintenance/recovery call, which would defeat the
+    two-phase-commit protocol the markers exist for."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from quicker_spark.functions.kernels import DEFAULT_BLOCK, encode_postings_batch
+from quicker_spark.io import atomic_write_json
 from quicker_spark.functions.tokenize import (
     make_term_tf_udf,
     tokenize_col,
@@ -352,8 +353,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             "format": INDEX_FORMAT,
         }
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
-        with open(stats_path, "w") as fh:
-            json.dump(stats, fh)
+        atomic_write_json(stats_path, stats)
         prep_phases["stats_agg"] = time.time() - t_agg
     prepare_secs = time.time() - t_prep
     with open(stats_path) as fh:
@@ -417,13 +417,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         term_stats_secs=term_stats_secs,
         prepare_phases={k: round(v, 2) for k, v in prep_phases.items()},
     )
-    with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
-        json.dump({**stats, "build_secs": secs, "docs_per_sec": report.docs_per_sec,
-                   "waves_run": len(waves), "wave_secs": wave_secs,
-                   "prepare_secs": prepare_secs,
-                   "prepare_phases": {k: round(v, 2) for k, v in prep_phases.items()},
-                   "term_stats_secs": term_stats_secs,
-                   "postings_bytes": postings_bytes,
-                   "docs_bytes": docs_bytes,
-                   "n_segments": n_segments}, fh)
+    atomic_write_json(
+        os.path.join(out_dir, "metrics.json"),
+        {**stats, "build_secs": secs, "docs_per_sec": report.docs_per_sec,
+         "waves_run": len(waves), "wave_secs": wave_secs,
+         "prepare_secs": prepare_secs,
+         "prepare_phases": {k: round(v, 2) for k, v in prep_phases.items()},
+         "term_stats_secs": term_stats_secs,
+         "postings_bytes": postings_bytes,
+         "docs_bytes": docs_bytes,
+         "n_segments": n_segments})
     return report

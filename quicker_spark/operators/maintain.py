@@ -33,16 +33,20 @@ affected segments/waves:
 
 Crash safety (two-phase commit): all replacement data (docs segment
 dirs, term stats) is written to STAGING paths first; a pending marker
-(``maintain_pending.json``) then records the swap/drop operations, the
-post-maintenance corpus stats, and the affected segment set BEFORE any
-live directory is touched. Recovery — run at the start of every
-maintenance entry point — replays the marker: finishes the directory
-swaps, restores the recorded stats, re-runs the affected-wave rebuild
-(idempotent overwrites), and falls back to a full term-stats
-recomputation (always correct regardless of how far the crashed run
-got). At warehouse scale the staged swap becomes an Iceberg
-MERGE/overwrite-partitions snapshot commit through the same seam
-(quicker_spark.io); the wave rebuild is already a partition-local job.
+(``maintain_pending.json``, every write crash-atomic via temp+rename)
+records the swap/drop operations, the post-maintenance corpus stats, and
+the affected segment set BEFORE any live directory is touched, then
+gains progress flags (``delta_frozen``, ``ts_staged``) as each staging
+write becomes durable. Recovery — run at the start of every maintenance
+entry point — replays the marker: finishes the directory swaps, restores
+the recorded stats, re-runs the affected-wave rebuild (idempotent
+overwrites), and recomputes term stats by the same partition-pruned
+DELTA the normal path uses (the flags say whether the frozen
+before-aggregate / staged merge are reusable; a full postings scan is
+only ever taken for legacy markers without flags). At warehouse scale
+the staged swap becomes an Iceberg MERGE/overwrite-partitions snapshot
+commit through the same seam (quicker_spark.io); the wave rebuild is
+already a partition-local job.
 """
 
 from __future__ import annotations
@@ -56,7 +60,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quicker_spark.io import commit_partition_ops
+from quicker_spark.io import atomic_write_json, commit_partition_ops
 from quicker_spark.operators.build import IndexConfig, _success, write_wave
 from quicker_spark.operators.docs import (
     DOC_KEY_COLS,
@@ -76,8 +80,7 @@ def _load_stats(index_dir: str) -> dict:
 
 
 def _write_stats(index_dir: str, stats: dict) -> None:
-    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
-        json.dump(stats, fh)
+    atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
 
 
 # the physical commit goes through the io format seam
@@ -92,15 +95,42 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
     """Finish a half-done maintenance commit (idempotent; returns True if
     recovery work was performed). The marker holds everything needed to
     reach the committed post-maintenance state from ANY crash point:
-    directory ops, final corpus stats, and the affected segment set for
-    the wave rebuild. Term stats are recomputed conservatively here (a
-    partial delta state is unrecoverable after an arbitrary crash; the
-    normal path never takes this scan)."""
+    directory ops, final corpus stats, the affected segment set for the
+    wave rebuild, and progress flags (``delta_frozen``, ``ts_staged``)
+    that let recovery take the partition-pruned DELTA term-stats path:
+
+    - ``delta_frozen`` false: no posting wave has been overwritten yet
+      (the freeze precedes the first overwrite), so recovery freezes the
+      before-aggregate itself and proceeds exactly like the normal path;
+    - ``delta_frozen`` true: the before-aggregate is durably staged
+      (``_SUCCESS``-fenced) — replay the idempotent wave rebuild, then
+      the delta merge;
+    - ``ts_staged`` true: the merged term stats are durably staged; the
+      only remaining work is the swap (a no-op when the crash happened
+      after it — the staging source is gone, so the committed new stats
+      are left alone rather than double-applied).
+
+    The full-postings-scan recompute — at warehouse scale the exact scan
+    the delta path exists to avoid — is only taken for markers that
+    predate the progress flags (legacy format)."""
     marker = os.path.join(index_dir, _PENDING)
     if not os.path.exists(marker):
         return False
-    with open(marker) as fh:
-        pending = json.load(fh)
+    try:
+        with open(marker) as fh:
+            pending = json.load(fh)
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        # Every marker write goes through atomic_write_json, so an
+        # unparsable marker cannot come from a crash mid-write of ours —
+        # it is pre-atomic legacy or external corruption. The initial
+        # marker lands BEFORE any live mutation, so the safe reading is
+        # "phase 1 never completed": drop the marker + staging and leave
+        # the live index alone, instead of wedging every future
+        # maintenance call on the parse error.
+        for rel in (_DOCS_STAGING, _TS_STAGING, _TS_OLD_DELTA):
+            shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
+        os.remove(marker)
+        return False
     # legacy round-2 marker: plain dir removals only
     for rel in pending.get("remove_dirs", []):
         shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
@@ -110,20 +140,45 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
         stats = pending["stats"]
         affected = set(pending.get("affected_segments", []))
         present = set(pending.get("present_segments", []))
-        if affected:
-            _rebuild_waves(spark, index_dir, stats, affected, present)
-        # conservative full recompute — always correct
-        posts_path = os.path.join(index_dir, "postings")
-        ts_staging = os.path.join(index_dir, _TS_STAGING)
-        (spark.read.parquet(posts_path)
-         .groupBy("term").agg(F.sum("df").alias("df_global"))
-         .write.mode("overwrite").parquet(ts_staging))
-        _apply_dir_ops(index_dir, [
-            {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
+        if "old_keys" in pending:
+            # new-format marker: delta path, never a full postings scan
+            old_keys = [int(w) for w in pending["old_keys"]]
+            delta_ok = (not old_keys) or _success(
+                os.path.join(index_dir, _TS_OLD_DELTA))
+            if not (pending.get("delta_frozen") and delta_ok):
+                # crash predates the first wave overwrite: freeze now
+                _freeze_old_wave_df(spark, index_dir, old_keys)
+            rebuilt = (_rebuild_waves(spark, index_dir, stats, affected,
+                                      present) if affected else [])
+            if pending.get("ts_staged"):
+                # merged stats durably staged; finish (or skip) the swap
+                _apply_dir_ops(index_dir, [
+                    {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
+            else:
+                _stage_delta_term_stats(spark, index_dir, rebuilt)
+                _apply_dir_ops(index_dir, [
+                    {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
+        else:
+            # legacy marker without progress flags: conservative full
+            # recompute — always correct
+            if affected:
+                _rebuild_waves(spark, index_dir, stats, affected, present)
+            _full_term_stats_recompute(spark, index_dir)
     for rel in (_DOCS_STAGING, _TS_STAGING, _TS_OLD_DELTA):
         shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
     os.remove(marker)
     return True
+
+
+def _full_term_stats_recompute(spark: SparkSession, index_dir: str) -> None:
+    """Whole-postings term-stats rebuild — the conservative recovery
+    fallback for legacy markers only; the normal and recovery paths both
+    use the partition-pruned delta (:func:`_stage_delta_term_stats`)."""
+    (spark.read.parquet(os.path.join(index_dir, "postings"))
+     .groupBy("term").agg(F.sum("df").alias("df_global"))
+     .write.mode("overwrite").parquet(os.path.join(index_dir, _TS_STAGING)))
+    _apply_dir_ops(index_dir, [
+        {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
 
 
 def _stage_docs(docs_kept: DataFrame, affected: set[int],
@@ -227,14 +282,15 @@ def _freeze_old_wave_df(spark: SparkSession, index_dir: str,
      .write.mode("overwrite").parquet(path))
 
 
-def _delta_term_stats(spark: SparkSession, index_dir: str,
-                      wave_keys: list[int]) -> None:
-    """term_stats_new = term_stats − df(affected waves, before) +
-    df(affected waves, after); staged write + atomic swap. Scans only
-    the affected wave dirs and the (vocabulary-sized) term_stats table,
-    never the whole postings tree."""
+def _stage_delta_term_stats(spark: SparkSession, index_dir: str,
+                            wave_keys: list[int]) -> bool:
+    """Stage term_stats_new = term_stats − df(affected waves, before) +
+    df(affected waves, after) to ``_TS_STAGING``; the caller commits with
+    the atomic swap. Scans only the affected wave dirs and the
+    (vocabulary-sized) term_stats table, never the whole postings tree.
+    Returns False (nothing staged) when no wave changed."""
     if not wave_keys:
-        return
+        return False
     posts = spark.read.parquet(os.path.join(index_dir, "postings"))
     new_df = (posts.filter(F.col("wave").isin([int(w) for w in wave_keys]))
               .groupBy("term").agg(F.sum("df").alias("df_new")))
@@ -254,33 +310,44 @@ def _delta_term_stats(spark: SparkSession, index_dir: str,
     )
     staging = os.path.join(index_dir, _TS_STAGING)
     merged.write.mode("overwrite").parquet(staging)
-    _apply_dir_ops(index_dir, [
-        {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
-    shutil.rmtree(old_path, ignore_errors=True)
+    return True
 
 
 def _commit(spark: SparkSession, index_dir: str, stats: dict,
             ops: list[dict], affected: set[int],
             present: set[int]) -> dict:
     """Phase 2 of maintenance: marker -> stats -> docs swap -> frozen
-    old-wave aggregate -> wave rebuild -> delta term stats -> marker
-    removal. A crash anywhere in here is replayed by
-    :func:`recover_pending` from the marker."""
+    old-wave aggregate -> wave rebuild -> staged delta term stats ->
+    swap -> marker removal. A crash anywhere in here is replayed by
+    :func:`recover_pending` from the marker; the ``delta_frozen`` /
+    ``ts_staged`` progress flags (each updated with an atomic rename
+    AFTER its durable staging write lands) tell recovery how far the
+    crashed run got, so replay always takes the partition-pruned delta
+    path and never double-applies a committed term-stats swap."""
     marker = os.path.join(index_dir, _PENDING)
-    with open(marker, "w") as fh:
-        json.dump({"ops": ops, "stats": stats,
-                   "affected_segments": sorted(affected),
-                   "present_segments": sorted(present)}, fh)
+    wave_map = _wave_map(spark, index_dir)
+    old_keys = [wk for wk, segs in sorted(wave_map.items())
+                if affected & set(segs)]
+    pending = {"ops": ops, "stats": stats,
+               "affected_segments": sorted(affected),
+               "present_segments": sorted(present),
+               "old_keys": old_keys,
+               "delta_frozen": False, "ts_staged": False}
+    atomic_write_json(marker, pending)
     _write_stats(index_dir, stats)
     _apply_dir_ops(index_dir, ops)
     shutil.rmtree(os.path.join(index_dir, _DOCS_STAGING), ignore_errors=True)
 
-    wave_map = _wave_map(spark, index_dir)
-    old_keys = [wk for wk, segs in sorted(wave_map.items())
-                if affected & set(segs)]
     _freeze_old_wave_df(spark, index_dir, old_keys)
+    pending["delta_frozen"] = True           # before-aggregate is durable
+    atomic_write_json(marker, pending)
     rebuilt = _rebuild_waves(spark, index_dir, stats, affected, present)
-    _delta_term_stats(spark, index_dir, rebuilt)
+    if _stage_delta_term_stats(spark, index_dir, rebuilt):
+        pending["ts_staged"] = True           # merged stats are durable
+        atomic_write_json(marker, pending)
+        _apply_dir_ops(index_dir, [
+            {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
+    shutil.rmtree(os.path.join(index_dir, _TS_OLD_DELTA), ignore_errors=True)
     os.remove(marker)
     return {"rebuilt_waves": rebuilt, "n_docs": stats["n_docs"]}
 

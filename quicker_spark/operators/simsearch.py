@@ -485,8 +485,9 @@ def build_ann_index(emb: DataFrame, out_dir: str, n_planes: int | None = None,
     meta = {"n_planes": int(n_planes), "n_tables": int(n_tables),
             "dim": int(dim), "n_vectors": int(n_vec),
             "id_col": id_col}
-    with open(os.path.join(out_dir, "_ann_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    from quicker_spark.io import atomic_write_json
+
+    atomic_write_json(os.path.join(out_dir, "_ann_meta.json"), meta)
     return meta
 
 
@@ -611,8 +612,9 @@ def build_ivf_index(emb: DataFrame, out_dir: str, nlist: int | None = None,
      .partitionBy("list_id").parquet(out_dir))
     meta = {"nlist": int(nlist), "dim": int(dim), "n_vectors": int(n_vec),
             "id_col": id_col, "centroids": C.tolist()}
-    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    from quicker_spark.io import atomic_write_json
+
+    atomic_write_json(os.path.join(out_dir, "_ivf_meta.json"), meta)
     return meta
 
 

@@ -32,6 +32,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quicker_spark.io import atomic_write_json
 from quicker_spark.operators.build import IndexConfig, build_index
 from quicker_spark.operators.docs import DOC_KEY_COLS, dedupe_latest
 from quicker_spark.operators.maintain import upsert_docs
@@ -57,14 +58,23 @@ def _staged_batches(staging: str) -> set[int]:
     meta = os.path.join(staging, "_staged_batches.json")
     if not os.path.exists(meta):
         return set()
-    with open(meta) as fh:
-        return set(json.load(fh))
+    try:
+        with open(meta) as fh:
+            return set(json.load(fh))
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        # Writes are atomic (temp+rename), so corruption is legacy or
+        # external. Treating it as "nothing recorded" is safe: the
+        # checkpointed stream replays the unacknowledged batches, the
+        # re-appended rows get re-recorded, and the per-key latest-wins
+        # dedupe collapses the duplicates — unlike raising, which would
+        # wedge the stream until manual deletion.
+        return set()
 
 
 def _record_batch(staging: str, batch_id: int) -> set[int]:
     staged = _staged_batches(staging) | {int(batch_id)}
-    with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
-        json.dump(sorted(staged), fh)
+    atomic_write_json(os.path.join(staging, "_staged_batches.json"),
+                      sorted(staged))
     return staged
 
 
@@ -73,13 +83,12 @@ def _stage_cfg(staging: str, cfg: IndexConfig) -> None:
     a post-crash :func:`flush_ingest` bootstraps with the SAME geometry."""
     path = os.path.join(staging, "_ingest_cfg.json")
     if not os.path.exists(path):
-        with open(path, "w") as fh:
-            json.dump({
-                "seg_docs": cfg.seg_docs, "n_salts": cfg.effective_salts(),
-                "block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b,
-                "wave_segments": cfg.wave_segments, "fields": list(cfg.fields),
-                "id_col": cfg.id_col, "tf_mode": cfg.tf_mode,
-            }, fh)
+        atomic_write_json(path, {
+            "seg_docs": cfg.seg_docs, "n_salts": cfg.effective_salts(),
+            "block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b,
+            "wave_segments": cfg.wave_segments, "fields": list(cfg.fields),
+            "id_col": cfg.id_col, "tf_mode": cfg.tf_mode,
+        })
 
 
 def _resolve_cfg(index_dir: str) -> IndexConfig:
@@ -95,6 +104,17 @@ def _resolve_cfg(index_dir: str) -> IndexConfig:
         with open(staged_cfg) as fh:
             return IndexConfig.from_stats(json.load(fh))
     return IndexConfig()
+
+
+def _has_data_files(staging: str) -> bool:
+    """True when the staged-generation directory holds at least one
+    parquet data file (recursive; metadata/marker files don't count)."""
+    for dp, _dn, fns in os.walk(staging):
+        for f in fns:
+            if f.endswith(".parquet") or (f.startswith("part-")
+                                          and not f.endswith(".crc")):
+                return True
+    return False
 
 
 def _log_event(index_dir: str, event: dict) -> None:
@@ -121,14 +141,18 @@ def _compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     staged = _staged_batches(staging)
     if not staged:
         return False
-    try:
-        gen = spark.read.parquet(staging)
-    except Exception:
-        # marker present but no readable data files: a crash mid-cleanup
-        # got ahead of the data removal — finish the cleanup instead of
-        # wedging every future compaction on the schema-less read
+    if not _has_data_files(staging):
+        # marker present but VERIFIABLY no data files: a crash
+        # mid-cleanup got ahead of the data removal — finish the cleanup
+        # instead of wedging every future compaction on the schema-less
+        # read. The listing check (not a read failure) is the guard: a
+        # corrupt footer or transient FS error on files that DO exist
+        # must propagate, never silently discard a checkpointed-but-
+        # uncompacted generation (the offsets are already committed —
+        # the stream will not replay it).
         shutil.rmtree(staging, ignore_errors=True)
         return False
+    gen = spark.read.parquet(staging)
     # only rows of batches the marker owns: part-files orphaned by a
     # crash after the marker delete (below) but before their rmtree must
     # not be re-applied with the next generation

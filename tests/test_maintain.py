@@ -266,3 +266,145 @@ def test_commit_backend_seam(spark, index_dir):
     remaining = pdf[~pdf.apply(
         lambda r: f"{r.repo}:{r.path}@{r.commit}" in victim_keys, axis=1)]
     _assert_matches_oracle(spark, index_dir, Oracle(remaining))
+
+
+def _ts_equals_full_recompute(spark, index_dir):
+    ts = spark.read.parquet(index_dir + "/term_stats").alias("ts")
+    full = (spark.read.parquet(index_dir + "/postings")
+            .groupBy("term").agg(F.sum("df").alias("df_full")).alias("fl"))
+    diff = (ts.join(full, "term", "full")
+            .filter(F.coalesce(F.col("ts.df_global"), F.lit(0))
+                    != F.coalesce(F.col("fl.df_full"), F.lit(0))))
+    assert diff.count() == 0, diff.limit(5).collect()
+
+
+def _recover_with_spies(spark, index_dir, monkeypatch):
+    """Run recover_pending with call-count spies on the delta stage and
+    the legacy full recompute; returns (delta_calls, full_calls)."""
+    from quicker_spark.operators import maintain as M
+
+    counts = {"delta": 0, "full": 0}
+    real_delta = M._stage_delta_term_stats
+    real_full = M._full_term_stats_recompute
+
+    def spy_delta(*a, **kw):
+        counts["delta"] += 1
+        return real_delta(*a, **kw)
+
+    def spy_full(*a, **kw):
+        counts["full"] += 1
+        return real_full(*a, **kw)
+
+    monkeypatch.setattr(M, "_stage_delta_term_stats", spy_delta)
+    monkeypatch.setattr(M, "_full_term_stats_recompute", spy_full)
+    assert M.recover_pending(spark, index_dir)
+    monkeypatch.undo()
+    return counts["delta"], counts["full"]
+
+
+def _assert_post_delete_state(spark, index_dir, victims):
+    import os
+
+    from quicker_spark.operators import maintain as M
+
+    assert not os.path.exists(os.path.join(index_dir, M._PENDING))
+    pdf = corpus_pdf(N_DOCS)
+    full = Oracle(pdf)
+    victim_keys = {full.docs[d]["id"] for d in victims}
+    remaining = pdf[~pdf.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}" in victim_keys, axis=1)]
+    _assert_matches_oracle(spark, index_dir, Oracle(remaining))
+    _ts_equals_full_recompute(spark, index_dir)
+
+
+def test_recovery_pre_freeze_crash_uses_delta(spark, index_dir, monkeypatch):
+    """Crash BEFORE the before-aggregate freeze (docs already swapped):
+    no posting wave has been overwritten yet, so recovery freezes the
+    delta itself — the full postings scan is never taken."""
+    from quicker_spark.operators import maintain as M
+
+    victims = [3, 7, 150]
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before freeze")
+
+    monkeypatch.setattr(M, "_freeze_old_wave_df", boom)
+    with pytest.raises(RuntimeError, match="before freeze"):
+        delete_docs(spark, index_dir, victims)
+    monkeypatch.undo()
+
+    delta_calls, full_calls = _recover_with_spies(spark, index_dir,
+                                                  monkeypatch)
+    assert delta_calls == 1 and full_calls == 0
+    _assert_post_delete_state(spark, index_dir, victims)
+
+
+def test_recovery_post_delta_crash_skips_full_scan(spark, index_dir,
+                                                   monkeypatch):
+    """Crash AFTER the before-aggregate is durably staged (waves not yet
+    rebuilt): recovery must replay via the frozen delta — asserting the
+    full postings recompute is NOT run (ADVICE round 3 #5)."""
+    from quicker_spark.operators import maintain as M
+
+    victims = [3, 7, 150]
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after freeze")
+
+    monkeypatch.setattr(M, "_rebuild_waves", boom)
+    with pytest.raises(RuntimeError, match="after freeze"):
+        delete_docs(spark, index_dir, victims)
+    monkeypatch.undo()
+
+    delta_calls, full_calls = _recover_with_spies(spark, index_dir,
+                                                  monkeypatch)
+    assert delta_calls == 1 and full_calls == 0
+    _assert_post_delete_state(spark, index_dir, victims)
+
+
+def test_recovery_post_swap_crash_no_double_apply(spark, index_dir,
+                                                  monkeypatch):
+    """Crash AFTER the term-stats swap but before marker removal
+    (ts_staged=true, staging gone): replay must leave the committed
+    stats alone — applying the delta twice would corrupt df_global."""
+    import os
+
+    from quicker_spark.operators import maintain as M
+
+    victims = [3, 7, 150]
+    real_remove = os.remove
+
+    def boom(path):
+        if path.endswith(M._PENDING):
+            raise RuntimeError("injected crash before marker removal")
+        return real_remove(path)
+
+    monkeypatch.setattr(M.os, "remove", boom)
+    with pytest.raises(RuntimeError, match="marker removal"):
+        delete_docs(spark, index_dir, victims)
+    monkeypatch.undo()
+
+    assert os.path.exists(os.path.join(index_dir, M._PENDING))
+    delta_calls, full_calls = _recover_with_spies(spark, index_dir,
+                                                  monkeypatch)
+    # delta already swapped: recovery must neither re-stage nor rescan
+    assert delta_calls == 0 and full_calls == 0
+    _assert_post_delete_state(spark, index_dir, victims)
+
+
+def test_corrupt_marker_is_phase1_never_completed(spark, index_dir):
+    """An unparsable pending marker (pre-atomic legacy / external
+    corruption) must not wedge maintenance: treated as 'phase 1 never
+    completed' — marker + staging dropped, live index untouched."""
+    import os
+
+    from quicker_spark.operators import maintain as M
+
+    marker = os.path.join(index_dir, M._PENDING)
+    with open(marker, "w") as fh:
+        fh.write('{"ops": [truncated')
+    assert M.recover_pending(spark, index_dir) is False
+    assert not os.path.exists(marker)
+    _assert_matches_oracle(spark, index_dir, Oracle(corpus_pdf(N_DOCS)))
+    # and the next real maintenance call goes through cleanly
+    delete_docs(spark, index_dir, [3])

@@ -203,3 +203,41 @@ def test_compact_ignores_orphan_batches(spark, dirs):
                         IndexConfig(seg_docs=200, n_salts=4)) is True
     # only the owned batch was applied
     assert SearchEngine(spark, dirs["idx"]).count() == 30
+
+
+def test_compact_raises_on_unreadable_staged_data(spark, dirs):
+    """A staged generation whose data files EXIST but cannot be read
+    (corrupt footer / transient FS error) must raise, never be silently
+    discarded — the stream's offsets are already committed, so rmtree
+    here would be permanent data loss (ADVICE round 3 #1)."""
+    import json
+
+    import pytest
+
+    from quicker_spark.streaming.ingest import _staging_dir, flush_ingest
+
+    staging = _staging_dir(dirs["idx"])
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
+        json.dump([0], fh)
+    corrupt = os.path.join(staging, "part-00000-corrupt.snappy.parquet")
+    with open(corrupt, "wb") as fh:
+        fh.write(b"this is not a parquet footer")
+    with pytest.raises(Exception):
+        flush_ingest(spark, dirs["idx"])
+    # nothing was discarded: the staged generation survives for repair
+    assert os.path.exists(corrupt)
+    assert os.path.exists(os.path.join(staging, "_staged_batches.json"))
+
+
+def test_corrupt_staged_batches_marker_tolerated(spark, dirs):
+    """An unparsable _staged_batches.json reads as 'nothing recorded'
+    (replayed batches re-record and latest-wins dedupe converges)
+    instead of raising on every later compaction."""
+    from quicker_spark.streaming.ingest import _staged_batches, _staging_dir
+
+    staging = _staging_dir(dirs["idx"])
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
+        fh.write("[0, 1, tru")
+    assert _staged_batches(staging) == set()
