@@ -338,9 +338,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              .write.partitionBy("segment_id")
              .mode("overwrite").parquet(docs_path))
         prep_phases["docs_write"] = time.time() - t_write
-        # ids are durably on disk now — drop the doc-id fence cache so
-        # repeated builds in one session don't accumulate corpus caches
-        release_id_cache(docs)
+        release_id_cache(docs)  # no-op since ids became deterministic
         t_agg = time.time()
         agg = obs.get
         stats = {

@@ -3,11 +3,16 @@
 The reference assigns DocIds from a per-worker atomic counter
 (reference: index_service/indexer.go:20,82) — ids depend on arrival order
 and are only unique per worker. That breaks rank-identity across cluster
-sizes, so this engine derives ids deterministically: the dense rank of
+sizes, so this engine derives ids deterministically: the rank of
 ``sha256(repo \\x01 path \\x01 commit)`` over the whole corpus (SURVEY.md
-§1.3). Rank assignment is the scalable two-pass scheme (range-partition by
-the hash, count per partition, broadcast the offsets, number rows within
-partitions) — no single-task global window, works at 10^12 rows.
+§1.3). Rank assignment is a two-pass scheme over ORDER-PRESERVING hash-
+prefix buckets (count per bucket -> cumulative offsets -> within-bucket
+row_number) — no single-task global window, works at 10^12 rows, and
+every step is a pure function of the DATA: a partition lost to executor
+failure recomputes to byte-identical ids (the round-3 design fenced a
+nondeterministic ``monotonically_increasing_id`` behind a cache, which
+Spark recomputes through nondeterministic range-sampling on executor
+loss — silently renumbering ids at cluster scale).
 
 The ``docs`` table is the engine's forward index (reference: KV store of
 serialized documents, internal/kvdb/kv_db.go:20-33): one row per doc with
@@ -17,7 +22,6 @@ ingestion invariant) and the payload columns themselves.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,84 +43,70 @@ def lang_bits_col(lang: F.Column | str) -> F.Column:
 
 def assign_doc_ids(df: DataFrame, key_cols=DOC_KEY_COLS,
                    n_parts: int | None = None) -> DataFrame:
-    """Add a ``doc_id`` column = dense rank of sha256(key) over the corpus.
+    """Add a ``doc_id`` column = rank of sha256(key) over the corpus
+    (ties among duplicate keys broken by a full-row hash — rows identical
+    in EVERY column stay interchangeable, so any assignment among them
+    yields the same table).
 
-    Partition-count independent (the rank is a property of the global sort
-    order of unique hashes), and scalable: range partition + per-partition
-    offsets instead of a global window.
+    Executor-loss-safe by construction: doc_id is a pure function of the
+    row data —
+
+    1. bucket = order-preserving prefix of the key hash (top 32 bits
+       scaled to ``~4 * n_parts`` buckets, so bucket order == hash order);
+    2. one map-side-combined ``groupBy(bucket).count()`` (bucket-count
+       rows — control-plane sized at any corpus scale);
+    3. cumulative offsets over that tiny frame, broadcast-joined back;
+    4. ``doc_id = offset[bucket] + row_number() within bucket`` ordered
+       by (hash, row hash).
+
+    No nondeterministic expression, no cache fence, no range-partitioner
+    sampling: a partition recomputed after executor failure re-derives
+    byte-identical ids from lineage. Partition-count independent (the
+    rank is a property of the global hash order, and offsets + in-bucket
+    ranks compose to the same global rank for ANY bucket count), and one
+    full-width exchange total (the window shuffle; the count pass moves
+    only bucket-count rows).
     """
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    # no persist of the pre-exchange plan: repartitionByRange's sampling
-    # pass recomputes scan+sha2 (a second cheap columnar read), which
-    # measures far cheaper than materializing a full-width corpus cache
-    # just to avoid it
+    n_buckets = max(4 * int(n_parts), 64)
     keyed = df.withColumn(
         "_h", F.sha2(F.concat_ws("\x01", *[F.col(c) for c in key_cols]), 256)
+    ).withColumn(
+        # deterministic tie-break for duplicate keys; computed BEFORE _b
+        # is added so it hashes exactly the caller's columns
+        "_tb", F.xxhash64(*[F.col(c) for c in df.columns])
+    ).withColumn(
+        # top 32 hash bits scaled to n_buckets — monotone in _h, so
+        # (bucket asc, _h asc) == global _h order; sha256 uniformity
+        # makes bucket sizes ~n/n_buckets (no planet-sized bucket)
+        "_b", F.shiftright(
+            F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+            * F.lit(int(n_buckets)), 32)
     )
-    parted = keyed.repartitionByRange(n_parts, "_h").sortWithinPartitions("_h")
-    parted.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Per-partition (first key, row count): pure-JVM aggregate with
-    # map-side combine — one row per partition enters the shuffle.
-    # Offsets are ORDERED by the partition's first hash (range partitions
-    # are disjoint in _h), then laid out as an array indexed by this
-    # job's physical partition index.
-    stats = (parted.groupBy(F.spark_partition_id().alias("pid"))
-             .agg(F.min("_h").alias("first_h"),
-                  F.count(F.lit(1)).alias("n"))
-             .collect())
-    n_phys = parted.rdd.getNumPartitions()
-    offsets = [0] * max(n_phys, 1)
-    acc = 0
-    for r in sorted(stats, key=lambda r: r["first_h"]):
-        offsets[int(r["pid"])] = acc
-        acc += int(r["n"])
-
-    # doc_id entirely in the JVM: monotonically_increasing_id encodes
-    # (partition index << 33) + row-index-in-partition, so doc_id =
-    # offsets[pid] + local index — no Arrow round-trip of the full-width
-    # corpus rows (round 3 measured that pass at 2-3x the cost of the
-    # actual tokenize+write it fed).
-    #
-    # Partition-index hazard (the round-1 duplicate-id bug): physical
-    # partition indices get renumbered when this plan is embedded under a
-    # union/join in a LATER job. Fenced by materializing the ids into
-    # their own cache with a top-level count() BEFORE returning — the
-    # nondeterministic mid expression is evaluated exactly once, in a
-    # plain scan job whose partition indices match the offsets job's
-    # (both are direct scans of the same cached exchange); consumers only
-    # ever read the materialized values (MEMORY_AND_DISK: evicted blocks
-    # spill, never recompute).
-    mid = F.monotonically_increasing_id()
-    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
-    pid = F.shiftright(mid, 33)
-    off = F.element_at(
-        F.array(*[F.lit(int(o)).cast("long") for o in offsets]),
-        (pid + F.lit(1)).cast("int"))
-    ids = (parted.withColumn("doc_id", (off + local).cast("long"))
-           .drop("_h"))
-    ids.persist(StorageLevel.MEMORY_AND_DISK)
-    ids.count()
-    parted.unpersist()
-    # The persist is load-bearing (it fences the nondeterministic mid
-    # expression), so it cannot be dropped here — but it must not leak
-    # either: Spark's CacheManager holds it until an explicit unpersist,
-    # so a long-lived caller (streaming ingest: one prepare per
-    # compaction) would accumulate corpus-sized caches without bound.
-    # Callers release it via release_id_cache() once the ids are
-    # materialized downstream (e.g. the docs table is written).
-    return ids
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (Window.orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    w_rank = Window.partitionBy("_b").orderBy("_h", "_tb")
+    # After the window exchange each task holds whole buckets sorted by
+    # (_b, _h); offsets are monotone in _b, so rows are doc_id-sorted
+    # within every task — the docs write's per-segment layout needs no
+    # extra repartition.
+    return (keyed.join(F.broadcast(offsets), "_b")
+            .withColumn("doc_id", (F.col("_off") + F.row_number().over(w_rank)
+                                   - F.lit(1)).cast("long"))
+            .drop("_h", "_tb", "_b", "_off"))
 
 
 def release_id_cache(df: DataFrame) -> None:
-    """Unpersist the doc-id fence cache behind a :func:`prepare_docs` /
-    :func:`assign_doc_ids` result, once the caller has durably
-    materialized the ids (written the docs table). No-op for frames
-    without one (``id_col`` path)."""
-    fence = getattr(df, "_id_cache", None)
-    if fence is not None:
-        fence.unpersist()
+    """Historical seam (kept for callers): the round-3 id assignment
+    fenced a nondeterministic expression behind a corpus-sized cache that
+    callers had to release after the docs write. Ids are now a pure
+    deterministic function of the data (:func:`assign_doc_ids`), so there
+    is nothing to release — this is a no-op."""
+    return None
 
 
 def dedupe_latest(df: DataFrame, key_cols=DOC_KEY_COLS,
@@ -149,14 +139,13 @@ def prepare_docs(corpus: DataFrame, seg_docs: int,
     api/document.proto:13), trust it instead of the sha256 dense rank —
     skips the ranking passes entirely and keeps engine ids == business ids.
     """
-    fence = None
     if id_col is not None:
         spark = corpus.sparkSession
         n = n_parts or spark.sparkContext.defaultParallelism
         ids = (corpus.withColumn("doc_id", F.col(id_col).cast("long"))
                      .repartitionByRange(n, "doc_id"))
     else:
-        ids = fence = assign_doc_ids(corpus, n_parts=n_parts)
+        ids = assign_doc_ids(corpus, n_parts=n_parts)
     if start_id:
         # fresh-id appends for upsert (reference: re-added docs always get
         # larger DocIds, index_service/indexer.go:76-82)
@@ -175,5 +164,4 @@ def prepare_docs(corpus: DataFrame, seg_docs: int,
         (F.col("doc_id") / F.lit(seg_docs)).cast("long").alias("segment_id"),
         "content",
     )
-    out._id_cache = fence
     return out

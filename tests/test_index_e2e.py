@@ -201,3 +201,38 @@ def test_build_releases_id_cache(spark, tmp_path):
                     IndexConfig(seg_docs=50, n_salts=2), resume=False)
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before, f"leaked {after - before} persisted RDDs"
+
+
+def test_doc_ids_recompute_identically(spark):
+    """Executor-loss safety: doc_id is a pure function of the data, so
+    re-executing the SAME plan (nothing is cached — each collect replays
+    the full lineage, which is exactly what Spark does for partitions
+    lost to executor failure) must reproduce byte-identical ids. The
+    round-3 design failed this property at cluster scale: a cached
+    nondeterministic expression recomputed through fresh range-sampling
+    could silently renumber ids."""
+    ids = assign_doc_ids(corpus_df(spark, 200, partitions=5), n_parts=3)
+    first = sorted(map(tuple, ids.select("path", "doc_id").collect()))
+    spark.catalog.clearCache()
+    second = sorted(map(tuple, ids.select("path", "doc_id").collect()))
+    assert first == second
+    assert sorted(i for _p, i in first) == list(range(200))
+
+
+def test_doc_ids_duplicate_keys_stay_distinct_and_stable(spark):
+    """Duplicate (repo, path, commit) keys share the key hash; the
+    full-row tie-break must still hand out distinct contiguous ids, and
+    fully identical rows are interchangeable — the (key, id-set) mapping
+    is stable across runs."""
+    import pandas as pd
+
+    from quicker_spark.fixtures import corpus_pdf
+
+    pdf = corpus_pdf(40)
+    dup = pd.concat([pdf, pdf.iloc[:5]], ignore_index=True)  # 5 exact dups
+    ids1 = assign_doc_ids(spark.createDataFrame(dup), n_parts=4)
+    ids2 = assign_doc_ids(spark.createDataFrame(dup), n_parts=2)
+    rows1 = [(r["path"], r["doc_id"]) for r in ids1.collect()]
+    rows2 = [(r["path"], r["doc_id"]) for r in ids2.collect()]
+    assert sorted(i for _p, i in rows1) == list(range(45))
+    assert sorted(rows1) == sorted(rows2)  # same (key, id) multiset
