@@ -56,7 +56,9 @@ from quicker_spark.operators.docs import prepare_docs, release_id_cache
 # On-disk layout version. Bumped whenever the postings schema or docs
 # partitioning changes; a resume against an older-format checkpoint
 # rebuilds from scratch instead of mixing layouts.
-INDEX_FORMAT = 3
+# v4: postings + manifest partitioned wave=K/segment_id=S, so index
+# maintenance rewrites single segments instead of whole waves.
+INDEX_FORMAT = 4
 
 
 @dataclass
@@ -243,33 +245,78 @@ def _success(path: str) -> bool:
 
 def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
                cfg: IndexConfig, avgdl: float, out_dir: str,
-               wkey: int | None = None) -> float:
+               wkey: int | None = None,
+               rebuild_segs: list[int] | None = None) -> float:
     """Build + checkpoint one wave of segments; returns elapsed seconds.
 
-    Idempotent overwrite of ``postings/wave=K`` and ``manifest/wave=K`` —
-    the unit of resume AND of index maintenance (delete/upsert rebuild
-    affected waves through this same path).
+    Layout: ``postings/wave=K/segment_id=S`` and
+    ``manifest/wave=K/segment_id=S`` — the wave is the unit of build
+    resume, the SEGMENT subdirectory is the unit of maintenance rewrite.
+
+    ``rebuild_segs=None``: full-wave static overwrite (idempotent — the
+    resume path). ``rebuild_segs=[...]``: maintenance-granular rewrite of
+    only those segments within the wave; sibling segment directories are
+    never touched, so a one-doc upsert no longer pays up to
+    ``wave_segments`` x its proportional rebuild cost. The affected
+    segment dirs are removed FIRST (a segment whose docs were all
+    deleted, or whose remaining docs carry no terms, writes no
+    replacement files — dynamic partition overwrite would silently keep
+    the stale postings and resurrect deleted docs), then the new rows
+    land via dynamic partition overwrite; the whole sequence is
+    idempotent, so maintenance crash recovery just replays it.
     """
     w0 = time.time()
     wkey = min(wave) if wkey is None else wkey
-    lo, hi = min(wave) * cfg.seg_docs, (max(wave) + 1) * cfg.seg_docs
+    segs = sorted(int(s) for s in (rebuild_segs if rebuild_segs is not None
+                                   else wave))
+    wave_dir = os.path.join(out_dir, "postings", f"wave={wkey}")
+    man_dir = os.path.join(out_dir, "manifest", f"wave={wkey}")
+    lo, hi = min(segs) * cfg.seg_docs, (max(segs) + 1) * cfg.seg_docs
     docs_wave = docs_df.filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        & F.col("segment_id").isin([int(s) for s in wave])
+        & F.col("segment_id").isin(segs)
     )
     post = wave_postings(docs_wave, cfg, avgdl)
-    (post.sortWithinPartitions("term")
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "postings", f"wave={wkey}")))
-    # lineage manifest for this wave (idempotent overwrite)
-    wrote = spark.read.parquet(os.path.join(out_dir, "postings", f"wave={wkey}"))
+    # cluster by segment before the write — a few term-hash-salted files
+    # per segment directory (each file term-sorted, so row-group pruning
+    # is intact), not one file per (task x segment) combination; the
+    # salt keeps writer parallelism tracking the cluster instead of the
+    # wave's segment count (same sizing law as the ANN index writer)
+    par = spark.sparkContext.defaultParallelism
+    n_salt = max(1, -(-2 * par // max(1, len(segs))))
+    writer = (post.repartition(F.col("segment_id"),
+                               F.pmod(F.xxhash64("term"), F.lit(n_salt)))
+              .sortWithinPartitions("term")
+              .write.mode("overwrite").partitionBy("segment_id"))
+    if rebuild_segs is None:
+        writer.parquet(wave_dir)
+    else:
+        import shutil
+        for s in segs:
+            shutil.rmtree(os.path.join(wave_dir, f"segment_id={s}"),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(man_dir, f"segment_id={s}"),
+                          ignore_errors=True)
+        writer.option("partitionOverwriteMode", "dynamic").parquet(wave_dir)
+    # lineage manifest rows for the (re)built segments
+    if not (os.path.isdir(wave_dir)
+            and any(e.startswith("segment_id=")
+                    for e in os.listdir(wave_dir))):
+        return time.time() - w0   # nothing manifested (all segs emptied)
+    wrote = spark.read.parquet(wave_dir)
+    if rebuild_segs is not None:
+        wrote = wrote.filter(F.col("segment_id").isin(segs))
     mrows = (
         wrote.groupBy("segment_id")
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"))
         .withColumn("build_secs", F.lit(float(time.time() - w0)))
-    )  # `wave` column comes from the wave=K partition directory on read
-    mrows.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "manifest", f"wave={wkey}"))
+    )  # `wave` partition dir supplies the wave column on read
+    mwriter = (mrows.repartition(F.col("segment_id"))
+               .write.mode("overwrite").partitionBy("segment_id"))
+    if rebuild_segs is None:
+        mwriter.parquet(man_dir)
+    else:
+        mwriter.option("partitionOverwriteMode", "dynamic").parquet(man_dir)
     return time.time() - w0
 
 

@@ -7,11 +7,12 @@ insert with a fresh, larger DocId (indexer.go:76-82). This engine's
 segments are immutable parquet, so maintenance is partition-granular:
 
 - delete: replace ONLY the docs segment directories that lost docs,
-  rebuild only the posting waves covering those segments (manifest tells
-  which), delta-adjust corpus stats. Untouched waves and untouched docs
-  partitions are never rewritten — the WAND block bounds are derived
-  from the CURRENT avgdl at query time (kernels.py with_bounds), so an
-  avgdl shift costs zero I/O.
+  rebuild only those segments' posting subdirectories (the manifest maps
+  segment -> wave; postings are laid out wave=K/segment_id=S, so sibling
+  segments inside a touched wave are never rewritten either), delta-
+  adjust corpus stats. The WAND block bounds are derived from the
+  CURRENT avgdl at query time (kernels.py with_bounds), so an avgdl
+  shift costs zero I/O.
 - upsert: remove the replaced business keys from their segments, append
   the new docs with fresh ids past the current max (the reference's
   fresh-DocId contract), and build the waves covering replaced + new
@@ -147,7 +148,7 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
                 os.path.join(index_dir, _TS_OLD_DELTA))
             if not (pending.get("delta_frozen") and delta_ok):
                 # crash predates the first wave overwrite: freeze now
-                _freeze_old_wave_df(spark, index_dir, old_keys)
+                _freeze_old_wave_df(spark, index_dir, old_keys, affected)
             rebuilt = (_rebuild_waves(spark, index_dir, stats, affected,
                                       present) if affected else [])
             if pending.get("ts_staged"):
@@ -155,7 +156,7 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
                 _apply_dir_ops(index_dir, [
                     {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
             else:
-                _stage_delta_term_stats(spark, index_dir, rebuilt)
+                _stage_delta_term_stats(spark, index_dir, rebuilt, affected)
                 _apply_dir_ops(index_dir, [
                     {"op": "swap", "src": _TS_STAGING, "dst": "term_stats"}])
         else:
@@ -240,23 +241,28 @@ def _wave_map(spark: SparkSession, index_dir: str) -> dict[int, list[int]]:
 def _rebuild_waves(spark: SparkSession, index_dir: str, stats: dict,
                    affected_segments: set[int],
                    present_segs: set[int]) -> list[int]:
-    """Overwrite the posting waves covering ``affected_segments`` (plus
-    fresh waves for affected segments never manifested — restricted to
-    segments actually present in the docs table, so deleting a doc_id
+    """Rewrite ONLY the affected segment subdirectories of the posting
+    waves covering ``affected_segments`` (sibling segments inside a
+    touched wave are never rewritten — segment-granular maintenance),
+    plus fresh waves for affected segments never manifested (restricted
+    to segments actually present in the docs table, so deleting a doc_id
     that never existed can't leave a junk empty wave behind). Idempotent:
     safe to replay after a crash."""
     cfg = IndexConfig.from_stats(stats)
-    avgdl = float(stats["avgdl"])  # rebuilt waves get a fresh avgdl_ref;
-    # untouched waves keep their stale one — bounds stay admissible
-    # (with_bounds' corner correction), just marginally less tight
+    avgdl = float(stats["avgdl"])  # rebuilt segments get a fresh
+    # avgdl_ref; untouched ones keep their stale one — bounds stay
+    # admissible (with_bounds' corner correction), just marginally less
+    # tight
     wave_map = _wave_map(spark, index_dir)
     manifested = {s for segs in wave_map.values() for s in segs}
 
     docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
     rebuilt: list[int] = []
     for wkey, segs in sorted(wave_map.items()):
-        if affected_segments & set(segs):
-            write_wave(spark, docs_df, segs, cfg, avgdl, index_dir, wkey=wkey)
+        touch = sorted(affected_segments & set(segs))
+        if touch:
+            write_wave(spark, docs_df, segs, cfg, avgdl, index_dir,
+                       wkey=wkey, rebuild_segs=touch)
             rebuilt.append(wkey)
     new_segs = sorted(s for s in affected_segments
                       if s not in manifested and s in present_segs)
@@ -268,32 +274,44 @@ def _rebuild_waves(spark: SparkSession, index_dir: str, stats: dict,
 
 
 def _freeze_old_wave_df(spark: SparkSession, index_dir: str,
-                        wave_keys: list[int]) -> None:
-    """Aggregate (term, df) of the affected waves BEFORE they are
-    overwritten, frozen to a staging parquet (a lazy DataFrame would
-    re-read the overwritten data). Partition-pruned to the wave dirs."""
+                        wave_keys: list[int],
+                        segs: set[int] | None = None) -> None:
+    """Aggregate (term, df) of the affected (wave, segment) region BEFORE
+    it is overwritten, frozen to a staging parquet (a lazy DataFrame
+    would re-read the overwritten data). Partition-pruned to the wave
+    AND segment directories — the scan is proportional to the mutation,
+    not to wave_segments x its size."""
     path = os.path.join(index_dir, _TS_OLD_DELTA)
     if not wave_keys:
         shutil.rmtree(path, ignore_errors=True)
         return
-    (spark.read.parquet(os.path.join(index_dir, "postings"))
-     .filter(F.col("wave").isin([int(w) for w in wave_keys]))
-     .groupBy("term").agg(F.sum("df").alias("df_old"))
+    before = (spark.read.parquet(os.path.join(index_dir, "postings"))
+              .filter(F.col("wave").isin([int(w) for w in wave_keys])))
+    if segs is not None:
+        before = before.filter(
+            F.col("segment_id").isin([int(s) for s in segs]))
+    (before.groupBy("term").agg(F.sum("df").alias("df_old"))
      .write.mode("overwrite").parquet(path))
 
 
 def _stage_delta_term_stats(spark: SparkSession, index_dir: str,
-                            wave_keys: list[int]) -> bool:
-    """Stage term_stats_new = term_stats − df(affected waves, before) +
-    df(affected waves, after) to ``_TS_STAGING``; the caller commits with
-    the atomic swap. Scans only the affected wave dirs and the
-    (vocabulary-sized) term_stats table, never the whole postings tree.
-    Returns False (nothing staged) when no wave changed."""
+                            wave_keys: list[int],
+                            segs: set[int] | None = None) -> bool:
+    """Stage term_stats_new = term_stats − df(affected region, before) +
+    df(affected region, after) to ``_TS_STAGING``; the caller commits
+    with the atomic swap. Scans only the affected (wave, segment) dirs
+    and the (vocabulary-sized) term_stats table, never the whole
+    postings tree. Returns False (nothing staged) when nothing changed.
+    ``segs`` must cover the same region the freeze covered — the rewrite
+    is segment-granular, so both sides of the delta are too."""
     if not wave_keys:
         return False
-    posts = spark.read.parquet(os.path.join(index_dir, "postings"))
-    new_df = (posts.filter(F.col("wave").isin([int(w) for w in wave_keys]))
-              .groupBy("term").agg(F.sum("df").alias("df_new")))
+    after = (spark.read.parquet(os.path.join(index_dir, "postings"))
+             .filter(F.col("wave").isin([int(w) for w in wave_keys])))
+    if segs is not None:
+        after = after.filter(
+            F.col("segment_id").isin([int(s) for s in segs]))
+    new_df = after.groupBy("term").agg(F.sum("df").alias("df_new"))
     old_path = os.path.join(index_dir, _TS_OLD_DELTA)
     if _success(old_path):
         old_df = spark.read.parquet(old_path)
@@ -338,11 +356,11 @@ def _commit(spark: SparkSession, index_dir: str, stats: dict,
     _apply_dir_ops(index_dir, ops)
     shutil.rmtree(os.path.join(index_dir, _DOCS_STAGING), ignore_errors=True)
 
-    _freeze_old_wave_df(spark, index_dir, old_keys)
+    _freeze_old_wave_df(spark, index_dir, old_keys, affected)
     pending["delta_frozen"] = True           # before-aggregate is durable
     atomic_write_json(marker, pending)
     rebuilt = _rebuild_waves(spark, index_dir, stats, affected, present)
-    if _stage_delta_term_stats(spark, index_dir, rebuilt):
+    if _stage_delta_term_stats(spark, index_dir, rebuilt, affected):
         pending["ts_staged"] = True           # merged stats are durable
         atomic_write_json(marker, pending)
         _apply_dir_ops(index_dir, [

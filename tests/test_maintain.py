@@ -408,3 +408,33 @@ def test_corrupt_marker_is_phase1_never_completed(spark, index_dir):
     _assert_matches_oracle(spark, index_dir, Oracle(corpus_pdf(N_DOCS)))
     # and the next real maintenance call goes through cleanly
     delete_docs(spark, index_dir, [3])
+
+
+def test_rebuild_leaves_sibling_segments_untouched(spark, index_dir):
+    """Segment-granular maintenance: deleting a doc in segment 0 must
+    rewrite only postings/wave=0/segment_id=0 — segment 1 lives in the
+    SAME wave and its posting files must be byte-identical and untouched
+    (no mtime change), so a one-doc mutation never pays
+    wave_segments x its proportional rebuild cost."""
+    import os
+
+    def seg_dir_state(wave, seg):
+        d = os.path.join(index_dir, "postings", f"wave={wave}",
+                         f"segment_id={seg}")
+        return sorted((f, os.stat(os.path.join(d, f)).st_mtime_ns,
+                       os.stat(os.path.join(d, f)).st_size)
+                      for f in os.listdir(d) if not f.endswith(".crc"))
+
+    sibling_before = seg_dir_state(0, 1)    # wave 0 covers segments 0+1
+    rebuilt_before = seg_dir_state(0, 0)
+    res = delete_docs(spark, index_dir, [3])           # doc 3 -> segment 0
+    assert res["rebuilt_waves"] == [0]
+    assert seg_dir_state(0, 1) == sibling_before        # sibling untouched
+    assert seg_dir_state(0, 0) != rebuilt_before        # target rewritten
+
+    pdf = corpus_pdf(N_DOCS)
+    full = Oracle(pdf)
+    victim_keys = {full.docs[3]["id"]}
+    remaining = pdf[~pdf.apply(
+        lambda r: f"{r.repo}:{r.path}@{r.commit}" in victim_keys, axis=1)]
+    _assert_matches_oracle(spark, index_dir, Oracle(remaining))
