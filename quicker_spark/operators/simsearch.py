@@ -582,25 +582,33 @@ def build_ivf_index(emb: DataFrame, out_dir: str, nlist: int | None = None,
     """Train (sampled, driver-side), assign (distributed Arrow matmul),
     and persist the embedding table partitioned by ``list_id``.
 
-    The training sample is the ``sample`` LOWEST ids (a deterministic,
-    content-independent choice — collect stays control-plane-sized:
-    8192 x 64 doubles = 4 MB regardless of corpus size). The write is
-    salted exactly like :func:`build_ann_index` so writer parallelism
-    tracks the cluster, not nlist. Geometry + centroids land in
-    ``_ivf_meta.json``; returns the meta dict."""
+    The training sample is a deterministic SPREAD over the whole corpus:
+    rows whose ``xxhash64(id) % stride == 0``, with stride sized so
+    ~``sample`` rows survive. Content-independent and engine-reproducible
+    like a lowest-ids prefix, but UNIFORM over the corpus — on real
+    corpora id order correlates with content (ingestion is
+    source-by-source), so a prefix sample trains the quantizer on one
+    source and skews every list. The collect stays control-plane-sized
+    (~sample x dim doubles — 4 MB at the defaults — regardless of corpus
+    size); the driver sorts by id so k-means init order is fixed. The
+    write is salted exactly like :func:`build_ann_index` so writer
+    parallelism tracks the cluster, not nlist. Geometry + centroids land
+    in ``_ivf_meta.json``; returns the meta dict."""
     import json
     import math
     import os
 
     spark = emb.sparkSession
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    n_vec = e.select(id_col).count()
     if nlist is None:
-        n_vec = e.select(id_col).count()
         nlist = ivf_nlist_for(n_vec, target_list)
-    else:
-        n_vec = -1
-    samp = [r["v"] for r in
-            e.orderBy(F.col(id_col)).limit(sample).select("v").collect()]
+    stride = max(1, n_vec // max(1, sample))
+    samp_rows = (e.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                 F.lit(int(stride))) == 0)
+                 .select(F.col(id_col).alias("_id"), "v").collect())
+    samp_rows.sort(key=lambda r: r["_id"])
+    samp = [r["v"] for r in samp_rows[:sample]]
     C = train_ivf_centroids(samp, nlist, iters=iters)
     nlist = len(C)
     rows = e.withColumn("list_id", _ivf_assign_udf(C)(F.col("v")))
@@ -624,16 +632,24 @@ def ivf_ann_topk(spark, ivf_dir: str, query_id: int, k: int = 10,
     """ANN top-k against a :func:`build_ivf_index` table.
 
     The query's ``nprobe`` nearest lists come from one driver-side
-    centroid matmul (nlist x dim — control-plane-sized); the candidate
-    scan is pruned to those list directories (~nprobe/nlist of the data,
-    never a full scan) and ranked by exact cosine, ordered
-    (cos desc, id asc) like :func:`cosine_topk`. Default nprobe is
-    ``max(3, ceil(nlist/8))`` — calibrated on the LOW-STRUCTURE test
-    embeddings (near-random vectors, IVF's worst case: measured
-    recall@10 0.88-0.96 at the default, vs 0.38-0.64 single-probe) so
-    the >= 0.8 floor holds with margin; clustered real-world corpora
-    reach it with far smaller budgets, and the probed fraction
-    nprobe/nlist shrinks as the corpus (and nlist) grows.
+    centroid matmul (nlist x dim — control-plane-sized); probe order is
+    query-aware (lists ranked by centroid similarity, ties to the lower
+    list id), the candidate scan is pruned to those list directories
+    (~nprobe/nlist of the data, never a full scan) and ranked by exact
+    cosine, ordered (cos desc, id asc) like :func:`cosine_topk`.
+
+    Default nprobe is ``min(nlist, max(16, ceil(sqrt(nlist))))`` — a
+    SUB-LINEAR law: at nlist <= 16 every list is probed (exact within
+    the quantizer — the honest small-corpus behavior), and as the corpus
+    grows the probed fraction max(16, sqrt(nlist))/nlist -> 0 (nlist
+    4096: 64 probes = 1.6% of the data; the previous ceil(nlist/8)
+    default scanned a constant 1/8 of the corpus per query forever).
+    Recall at a fixed sub-linear budget depends on corpus structure:
+    clustered real-world embeddings concentrate neighbors in few cells;
+    the sandbox's near-random vectors are the worst case (recall ~=
+    probed fraction — no probe law beats the curse of dimensionality
+    there; see the recall-vs-nprobe curve in BENCH.md). Raise ``nprobe``
+    per query to buy recall with latency.
 
     ``query_vec`` short-circuits the point lookup; without it the query
     vector is fetched from the index by id (at cluster scale, fetch it
@@ -651,7 +667,7 @@ def ivf_ann_topk(spark, ivf_dir: str, query_id: int, k: int = 10,
     nlist = len(C)
     id_col = meta.get("id_col", "vec_id") if id_col is None else id_col
     if nprobe is None:
-        nprobe = max(3, math.ceil(nlist / 8))
+        nprobe = min(nlist, max(16, math.ceil(math.sqrt(nlist))))
     e = spark.read.parquet(ivf_dir)
     if query_vec is None:
         qrow = e.filter(F.col(id_col) == query_id).select("v").head()
