@@ -220,17 +220,23 @@ SEARCHER_ID_RANGE = (0, 350)
 
 
 def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
-                  require_all=False, project=None) -> str:
+                  require_all=False, project=None,
+                  cand_having: str | None = None) -> str:
     """Exact BM25 top-k oracle over an arbitrary base corpus relation
     (``base`` must yield (doc_id, text)). ``require_all`` restricts
     candidates to docs containing EVERY term (the AND query contract);
-    ``project`` overrides the final SELECT (for hydration joins)."""
+    ``cand_having`` restricts them by an arbitrary HAVING predicate over
+    the per-doc tf rows (nested boolean trees — the engine scores every
+    query term over the tree's match set); ``project`` overrides the
+    final SELECT (for hydration joins)."""
     terms_in = "('" + "','".join(terms) + "')"
+    if require_all:
+        cand_having = f"count(DISTINCT term) = {len(terms)}"
     cand_cte = (
         ", cand AS (SELECT doc_id FROM tf GROUP BY doc_id "
-        f"HAVING count(DISTINCT term) = {len(terms)})" if require_all else "")
+        f"HAVING {cand_having})" if cand_having else "")
     cand_where = ("WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
-                  if require_all else "")
+                  if cand_having else "")
     project = project or ("SELECT doc_id, round(score * 10000.0)::bigint "
                           "AS score_x4 FROM scores "
                           f"ORDER BY score DESC, doc_id LIMIT {k}")
@@ -393,6 +399,56 @@ def q_bm25_and_top10(spark, sf_dir):
     q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
     hits = eng.search(q, k=10, mode="conj")
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+NESTED_OR = ("query", "spark")
+NESTED_MUST = "merge"
+
+
+def q_bm25_nested_top10(spark, sf_dir):
+    """Q5 scored: BM25 top-k over a genuinely NESTED boolean tree —
+    And(Or(query, spark), merge). The reference evaluates arbitrary
+    nesting (skiplist_reverse_index.go:192-206); this engine's TAAT path
+    generalizes it with scoring: candidates = the tree's match set,
+    score = sum of idf*u over EVERY query term the doc contains (both OR
+    branches contribute when present). mode='auto' certifies the
+    dispatcher routes nested trees to TAAT — the flat-only pruned paths
+    refuse them."""
+    eng = get_engine(spark, sf_dir)
+    q = And(Or(*[NewTermQuery("content", t) for t in NESTED_OR]),
+            NewTermQuery("content", NESTED_MUST))
+    hits = eng.search(q, k=10, mode="auto")
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+HYBRID_KEYWORDS = ("table", "merge")
+
+
+def q_hybrid_top10(spark, sf_dir):
+    """Hybrid recall through the Searcher facade: a KeywordRecaller
+    (BM25 AND over the content terms) and a VectorRecaller (exact cosine
+    top-10 around embedding 0 — certified by `cosine_top10`; the ANN
+    indexes plug into the same seam) fan out in ONE Spark job, merge
+    with best-score business-id dedup, and rerank — the retrieval shape
+    a training-data dedup+retrieval pipeline runs. The oracle reproduces
+    the whole pipeline: BM25 top-10 UNION cosine top-10, max-score
+    dedup, order, limit."""
+    from quicker_spark.plans.searcher import (
+        KeywordRecaller, SearchContext, Searcher, VectorRecaller)
+
+    eng = get_engine(spark, sf_dir)
+
+    def vec_topk(_eng, ctx, k):
+        c = simsearch.cosine_topk(embeddings(spark, sf_dir),
+                                  query_id=int(ctx.extra["vec_query"]), k=k)
+        return c.select(F.col("vec_id").alias("doc_id"),
+                        F.col("cos").alias("score"))
+
+    ctx = SearchContext(keywords=HYBRID_KEYWORDS, extra={"vec_query": 0})
+    s = Searcher(engine=eng,
+                 recallers=(KeywordRecaller(), VectorRecaller(vec_topk)))
+    out = s.search(ctx, k=10)
+    return out.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
 BATCH_QUERIES = {
@@ -696,7 +752,9 @@ QUERIES = {
     "bm25_top10_wand": q_bm25_top10_wand,
     "bm25_top10_taat": q_bm25_top10_taat,
     "bm25_and_top10": q_bm25_and_top10,
+    "bm25_nested_top10": q_bm25_nested_top10,
     "bm25_batch_top10": q_bm25_batch_top10,
+    "hybrid_top10": q_hybrid_top10,
     "searcher_top10": q_searcher_top10,
     "delete_then_search": q_delete_then_search,
     "upsert_then_search": q_upsert_then_search,
@@ -755,6 +813,38 @@ ORDER BY ded.score DESC, ded.doc_id
 LIMIT 10
 """
 
+# nested tree And(Or(query, spark), merge): candidates must contain the
+# must-term AND at least one OR-branch term; every query term present in
+# a candidate contributes to its score (the engine's TAAT semantics)
+_NESTED_HAVING = (
+    f"max(CASE WHEN term = '{NESTED_MUST}' THEN 1 ELSE 0 END) = 1 AND "
+    "max(CASE WHEN term IN ('" + "','".join(NESTED_OR) + "') "
+    "THEN 1 ELSE 0 END) = 1")
+
+# hybrid recall: BM25 AND top-10 UNION exact-cosine top-10 (vec 0),
+# best-score dedup by doc id, rerank, limit — canonicalized only at the end
+SQL_HYBRID = f"""
+WITH u AS (
+  SELECT * FROM ({sql_bm25_topk(HYBRID_KEYWORDS, require_all=True,
+                                project=("SELECT doc_id, score FROM scores "
+                                         "ORDER BY score DESC, doc_id "
+                                         "LIMIT 10"))})
+  UNION ALL
+  SELECT * FROM (
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id AS doc_id,
+           list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) *
+           sqrt(list_dot_product(q.qv, q.qv))) AS score
+    FROM e, q WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id LIMIT 10)
+),
+ded AS (SELECT doc_id, max(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM ded
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 ORACLE_SQL = {
     "term_tf": (
         f"WITH toks AS ({SQL_TOKS}) "
@@ -778,6 +868,9 @@ ORACLE_SQL = {
     "bm25_top10_wand": SQL_BM25_TOP10,
     "bm25_top10_taat": SQL_BM25_TOP10,
     "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
+    "bm25_nested_top10": sql_bm25_topk(NESTED_OR + (NESTED_MUST,),
+                                       cand_having=_NESTED_HAVING),
+    "hybrid_top10": SQL_HYBRID,
     "bm25_batch_top10": " UNION ALL ".join(
         "SELECT * FROM ({q}) AS b_{qid}".format(
             qid=qid,

@@ -16,7 +16,12 @@ demo/job/search/searcher.go:16-98) as thin composition over the engine:
 
 The reference fans recallers out over goroutines; here each recall is an
 independent DataFrame pipeline and the union IS the parallel plan —
-Spark schedules both subtrees' stages concurrently.
+Spark schedules both subtrees' stages concurrently. That only holds
+because recall stays LAZY end to end: hydration goes through the
+distributed ``hydrate_join`` (hits are k-row post-limit, so the join is
+cheap and prunable), never through the collect-based point-lookup
+``hydrate`` — an eager collect per recaller would serialize the fan-out
+into one blocking Spark job per strategy.
 """
 
 from __future__ import annotations
@@ -56,8 +61,11 @@ class Recaller:
 
     def recall(self, eng: SearchEngine, ctx: SearchContext, k: int) -> DataFrame:
         q = self.query(ctx)
-        # an Empty query yields a hydrated empty frame (union-compatible)
-        return eng.search(q, k=k, or_flags=self.or_flags(ctx), hydrate=True)
+        # an Empty query yields a hydrated empty frame (union-compatible);
+        # lazy hydrate_join (not the eager collect-based hydrate) so the
+        # Searcher's union fans every recaller out in ONE Spark job
+        hits = eng.search(q, k=k, or_flags=self.or_flags(ctx))
+        return eng.hydrate_join(hits)
 
 
 class KeywordRecaller(Recaller):
@@ -86,6 +94,31 @@ class KeywordAuthorRecaller(Recaller):
         leaves = [NewTermQuery("content", w) for w in ctx.keywords]
         leaves.append(NewTermQuery("repo", author))
         return And(*leaves)
+
+
+class VectorRecaller(Recaller):
+    """Vector-similarity recall strategy: a hits frame (doc_id, score)
+    from an embedding top-k — exact cosine (`simsearch.cosine_topk`) or
+    either ANN index (`lsh_ann_topk_indexed` / `ivf_ann_topk`) — mapped
+    into the engine's hit schema and hydrated through the same LAZY join
+    keyword recall uses, so one request fans out BM25 + vector recall in
+    one Spark job and merges with the Searcher's best-score dedup (the
+    retrieval shape a training-data dedup+retrieval pipeline runs: text
+    match and embedding neighborhood as parallel strategies).
+
+    ``topk_fn(engine, ctx, k) -> DataFrame(doc_id, score)`` supplies the
+    vector hits; the embedding ids must live in the engine's doc_id
+    domain (the forward index joins on doc_id). No reference analog —
+    the reference's recaller seam (demo/job/search/recaller/) is the
+    extension point this plugs into."""
+
+    name = "vector"
+
+    def __init__(self, topk_fn):
+        self.topk_fn = topk_fn
+
+    def recall(self, eng: SearchEngine, ctx: SearchContext, k: int) -> DataFrame:
+        return eng.hydrate_join(self.topk_fn(eng, ctx, k))
 
 
 def range_filter(col: str, lo, hi) -> Filter:
