@@ -1,0 +1,127 @@
+"""Multi-segment serving: 1M-doc p50 + batched throughput (queries/sec).
+
+BENCH.md's serving p50 was measured on a 150k-doc SINGLE-segment index —
+the kernel worst case (one applyInPandas group = one core does all the
+scoring). This script measures the scale shape instead: a 1M-doc,
+multi-segment index where segments score in parallel (Spark's stage
+execution IS the reference's scatter-gather, sentinel.go:137-187), plus
+`SearchEngine.search_many` batch throughput — N heterogeneous queries
+answered by ONE Spark job over one shared pruned postings scan, the
+cluster-serving amortization shape.
+
+Usage: python scripts/serving_scale_bench.py [--docs 1000000]
+       [--seg-docs 100000] [--reps 5] [--cpus 32] [--batch 24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# single-query latency set (same shapes as serving_latency_bench.py)
+QUERIES = [
+    ("or", ("def", "return")),
+    ("or", ("import", "class")),
+    ("or", ("func", "var", "struct")),
+    ("and", ("def", "return")),
+    ("and", ("import", "if")),
+    ("or", ("async", "await")),
+]
+
+# term pool for the heterogeneous batch (tokens the fixture corpus emits)
+POOL = ["def", "return", "import", "class", "func", "var", "struct", "if",
+        "else", "for", "while", "async", "await", "self", "impl", "fn",
+        "type", "int", "string", "err", "nil", "true", "false", "match"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--seg-docs", type=int, default=100_000)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=24)
+    args = ap.parse_args()
+
+    from quicker_spark.engine import SearchEngine
+    from quicker_spark.fixtures import corpus_df
+    from quicker_spark.operators.build import IndexConfig, build_index
+    from quicker_spark.plans.term_query import And, NewTermQuery, Or
+    from quicker_spark.session import get_spark
+
+    spark = get_spark(cores=args.cpus, shuffle_partitions=args.cpus,
+                      driver_memory="24g")
+    out = tempfile.mkdtemp(prefix="quicker_scale_")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    rep = build_index(spark, corpus_df(spark, args.docs,
+                                       partitions=args.cpus * 2),
+                      out, IndexConfig(seg_docs=args.seg_docs),
+                      resume=False)
+    build_secs = time.time() - t0
+    eng = SearchEngine(spark, out)
+
+    def make(kind, terms):
+        return (Or if kind == "or" else And)(
+            *[NewTermQuery("content", t) for t in terms])
+
+    # -- single-query p50, auto mode (cost-based strategy pick) ------------
+    lat: dict[str, dict] = {}
+    for mode in ("auto", "wand", "conj"):
+        lats = []
+        for r in range(args.reps):
+            for kind, terms in QUERIES:
+                if mode == "wand" and kind != "or":
+                    continue
+                if mode == "conj" and kind != "and":
+                    continue
+                t0 = time.time()
+                eng.search(make(kind, terms), k=10, mode=mode).collect()
+                lats.append(time.time() - t0)
+        lats.sort()
+        lat[mode] = {"p50_sec": round(statistics.median(lats), 3),
+                     "min_sec": round(lats[0], 3),
+                     "max_sec": round(lats[-1], 3), "n": len(lats)}
+
+    # -- batched throughput: N heterogeneous queries in one job ------------
+    batch = {}
+    for i in range(args.batch):
+        kind = "and" if i % 3 == 2 else "or"
+        terms = tuple(POOL[(i * 3 + j) % len(POOL)] for j in range(2 + i % 2))
+        batch[f"q{i}_{kind}"] = make(kind, terms)
+    # sequential baseline (one rep — it is the slow path by construction)
+    t0 = time.time()
+    for q in batch.values():
+        eng.search(q, k=10).collect()
+    seq_secs = time.time() - t0
+    best_batch = None
+    for _ in range(args.reps):
+        t0 = time.time()
+        n = eng.search_many(batch, k=10).count()
+        secs = time.time() - t0
+        best_batch = secs if best_batch is None else min(best_batch, secs)
+    assert n <= args.batch * 10
+
+    print(json.dumps({
+        "docs": args.docs, "segments": rep.n_segments, "cpus": args.cpus,
+        "build_secs": round(build_secs, 1),
+        "single_query": lat,
+        "batch_n_queries": args.batch,
+        "batch_secs_best": round(best_batch, 3),
+        "batch_qps": round(args.batch / best_batch, 1),
+        "sequential_secs": round(seq_secs, 3),
+        "sequential_qps": round(args.batch / seq_secs, 1),
+    }))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
