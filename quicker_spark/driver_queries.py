@@ -221,22 +221,36 @@ SEARCHER_ID_RANGE = (0, 350)
 
 def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
                   require_all=False, project=None,
-                  cand_having: str | None = None) -> str:
+                  cand_having: str | None = None,
+                  cand_base_where: str | None = None,
+                  terms_like: str | None = None) -> str:
     """Exact BM25 top-k oracle over an arbitrary base corpus relation
     (``base`` must yield (doc_id, text)). ``require_all`` restricts
     candidates to docs containing EVERY term (the AND query contract);
     ``cand_having`` restricts them by an arbitrary HAVING predicate over
     the per-doc tf rows (nested boolean trees — the engine scores every
-    query term over the tree's match set); ``project`` overrides the
+    query term over the tree's match set); ``cand_base_where`` restricts
+    them by a predicate over the base relation itself (phrase queries —
+    a separator-run regex over the raw text); ``terms_like`` replaces
+    the term IN-list with a LIKE pattern (prefix queries score every
+    vocabulary term matching the prefix); ``project`` overrides the
     final SELECT (for hydration joins)."""
-    terms_in = "('" + "','".join(terms) + "')"
+    if terms_like is not None:
+        term_pred = f"term LIKE '{terms_like}'"
+    else:
+        term_pred = "term IN ('" + "','".join(terms) + "')"
     if require_all:
         cand_having = f"count(DISTINCT term) = {len(terms)}"
-    cand_cte = (
-        ", cand AS (SELECT doc_id FROM tf GROUP BY doc_id "
-        f"HAVING {cand_having})" if cand_having else "")
-    cand_where = ("WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
-                  if cand_having else "")
+    if cand_base_where:
+        cand_cte = (", cand AS (SELECT doc_id FROM base "
+                    f"WHERE {cand_base_where})")
+        cand_where = "WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
+    else:
+        cand_cte = (
+            ", cand AS (SELECT doc_id FROM tf GROUP BY doc_id "
+            f"HAVING {cand_having})" if cand_having else "")
+        cand_where = ("WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
+                      if cand_having else "")
     project = project or ("SELECT doc_id, round(score * 10000.0)::bigint "
                           "AS score_x4 FROM scores "
                           f"ORDER BY score DESC, doc_id LIMIT {k}")
@@ -250,9 +264,9 @@ dl AS (SELECT doc_id,
 stats AS (SELECT count(*)::double AS n, sum(dl)::double / count(*)::double AS avgdl
           FROM dl),
 tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks
-       WHERE term IN {terms_in} GROUP BY doc_id, term),
+       WHERE {term_pred} GROUP BY doc_id, term),
 df AS (SELECT term, count(DISTINCT doc_id)::double AS dfv FROM toks
-       WHERE term IN {terms_in} GROUP BY term),
+       WHERE {term_pred} GROUP BY term),
 idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
         FROM df, stats){cand_cte},
 scores AS (
@@ -449,6 +463,63 @@ def q_hybrid_top10(spark, sf_dir):
                  recallers=(KeywordRecaller(), VectorRecaller(vec_topk)))
     out = s.search(ctx, k=10)
     return out.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+PHRASE_TERMS = ("table", "hash")
+PREFIX = "s"
+
+
+def get_pos_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """The shared cached engine with its positional sidecar built (once
+    per index directory — the sidecar persists beside the index, so
+    repeat driver runs reuse it like the index itself)."""
+    from quicker_spark.operators.positions import (
+        build_positions,
+        positions_meta,
+    )
+
+    eng = get_engine(spark, sf_dir)
+    if positions_meta(eng.index_dir) is None:
+        build_positions(spark, eng.index_dir, fields=("content",))
+    return eng
+
+
+def q_phrase_top10(spark, sf_dir):
+    """Exact-phrase BM25 top-10 over the positional sidecar (beyond the
+    reference — its index stores no positions,
+    skiplist_reverse_index.go:23-36). Candidates are docs where the
+    words are ADJACENT IN ORDER in the content token stream; scores are
+    the same per-term BM25 sum the AND path uses. The oracle reproduces
+    adjacency with a separator-run regex over the same tokenizer spec
+    (maximal [a-z0-9_] runs on lowered text): consecutive tokens ==
+    `(^|\\W) t1 \\W+ t2 (\\W|$)` with \\W = [^a-z0-9_]."""
+    eng = get_pos_engine(spark, sf_dir)
+    hits = eng.search_phrase(list(PHRASE_TERMS), k=10)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_prefix_top10(spark, sf_dir):
+    """Prefix query (`content:s*`): term-dictionary expansion (the
+    vocabulary-sized term-stats table, Lucene-style deterministic
+    rewrite) served as a flat OR through the WAND path. The oracle
+    scores every vocabulary term matching the prefix via LIKE — the
+    engine's expansion must therefore be EXACTLY the matching
+    vocabulary or ranks diverge."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_prefix("content", PREFIX, k=10, max_expansions=4096)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_facet_lang(spark, sf_dir):
+    """Facet aggregation over the FULL boolean match set of an AND
+    query: doc counts by lang (the standard search-engine facet layered
+    over the reference's unranked Search contract). The match set stays
+    distributed end to end — search_bool kernel -> hydrate_join ->
+    groupBy; nothing is collected."""
+    eng = get_engine(spark, sf_dir)
+    q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
+    return eng.facet_counts(q, by=("lang",)).select(
+        "lang", F.col("n").cast("long").alias("n"))
 
 
 BATCH_QUERIES = {
@@ -753,6 +824,9 @@ QUERIES = {
     "bm25_top10_taat": q_bm25_top10_taat,
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
+    "phrase_top10": q_phrase_top10,
+    "prefix_top10": q_prefix_top10,
+    "facet_lang": q_facet_lang,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
     "searcher_top10": q_searcher_top10,
@@ -870,6 +944,22 @@ ORACLE_SQL = {
     "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
     "bm25_nested_top10": sql_bm25_topk(NESTED_OR + (NESTED_MUST,),
                                        cand_having=_NESTED_HAVING),
+    "phrase_top10": sql_bm25_topk(
+        PHRASE_TERMS,
+        cand_base_where=(
+            "regexp_matches(lower(text), "
+            f"'(^|[^a-z0-9_]){PHRASE_TERMS[0]}[^a-z0-9_]+"
+            f"{PHRASE_TERMS[1]}([^a-z0-9_]|$)')")),
+    "prefix_top10": sql_bm25_topk(terms_like=f"{PREFIX}%"),
+    "facet_lang": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "cand AS (SELECT doc_id FROM toks WHERE term IN ('"
+        + "','".join(AND_TERMS) + "') GROUP BY doc_id "
+        f"HAVING count(DISTINCT term) = {len(AND_TERMS)}) "
+        "SELECT lang, count(*)::bigint AS n FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM cand) "
+        "GROUP BY lang ORDER BY n DESC, lang"
+    ),
     "hybrid_top10": SQL_HYBRID,
     "bm25_batch_top10": " UNION ALL ".join(
         "SELECT * FROM ({q}) AS b_{qid}".format(

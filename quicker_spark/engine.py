@@ -206,6 +206,41 @@ def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
     return kernel
 
 
+def _make_phrase_kernel(phrase_terms: tuple, n_docs: int, avgdl: float,
+                        k: int, on: int, off: int, or_flags: tuple,
+                        k1: float, b: float):
+    """Per-segment exact-phrase scorer over the positional sidecar rows
+    (one row per phrase term present in the segment). idf arrives as the
+    broadcast-joined ``df_global`` column, same as the BM25 kernels."""
+    from quicker_spark.functions.phrase import (
+        decode_positions_row,
+        score_segment_phrase,
+    )
+    from quicker_spark.model import bm25_idf
+
+    need = set(phrase_terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if set(pdf["term"]) < need:
+            # a phrase term absent from this segment: no match here
+            # (the conj early-exit, skiplist_reverse_index.go:88-90)
+            return empty
+        decoded, idf = {}, {}
+        for _, r in pdf.iterrows():
+            decoded[r["term"]] = decode_positions_row(
+                bytes(r["ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+                bytes(r["bits"]), bytes(r["pos"]))
+            idf[r["term"]] = bm25_idf(n_docs, int(r["df_global"]))
+        ids, scores = score_segment_phrase(
+            list(phrase_terms), decoded, idf, avgdl, k, on, off,
+            or_flags, k1, b)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return kernel
+
+
 def _make_bool_kernel(query_json: str, on: int, off: int, or_flags: tuple,
                       block_size: int):
     query = json.loads(query_json)
@@ -405,6 +440,101 @@ class SearchEngine:
         # hits are bounded (<= n_queries * k rows), so hydrate via the
         # pruned point-lookup path, not a full forward-index join
         return self.hydrate(hits) if hydrate else hits
+
+    def search_phrase(self, words, field: str = "content", k: int = 10,
+                      on: int = 0, off: int = 0, or_flags: tuple = (),
+                      hydrate: bool = False) -> DataFrame:
+        """Exact-phrase BM25 top-k over the positional sidecar
+        (operators.positions.build_positions must have been run for
+        ``field``). Matches docs where the words occur ADJACENTLY IN
+        ORDER in ``field``'s token stream; scores are the same per-term
+        BM25 sum the AND path uses — a phrase is the AND of its terms
+        restricted to adjacent occurrences (no reference analog: the
+        reference index stores no positions,
+        skiplist_reverse_index.go:23-36).
+
+        Plan shape = the BM25 serving path: term-pruned positions scan
+        (row-group stats on term-sorted files), broadcast term stats,
+        one Arrow kernel per segment, TakeOrdered top-k merge."""
+        from quicker_spark.operators.positions import positions_meta
+
+        meta = positions_meta(self.index_dir)
+        if meta is None:
+            raise ValueError(
+                "no positional sidecar at this index; run "
+                "operators.positions.build_positions(spark, index_dir) "
+                "first")
+        if field not in meta["fields"]:
+            raise ValueError(
+                f"field {field!r} has no positions (sidecar covers "
+                f"{meta['fields']})")
+        words = [str(w).lower() for w in words if str(w)]
+        if not words:
+            return self._empty_hits(hydrate)
+        terms = tuple(f"{field}\x01{w}" for w in words)
+        kern = _make_phrase_kernel(
+            terms, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
+            k, on, off, tuple(or_flags), self.stats["k1"],
+            self.stats["b"])
+        pos = (self.spark.read
+               .parquet(os.path.join(self.index_dir, "positions"))
+               .filter(F.col("term").isin(list(set(terms)))))
+        ts = F.broadcast(
+            self.term_stats.filter(F.col("term").isin(list(set(terms)))))
+        seg_hits = (pos.join(ts, "term", "left")
+                    .fillna(0, subset=["df_global"])
+                    .groupBy("segment_id")
+                    .applyInPandas(kern, "doc_id long, score double"))
+        hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self.hydrate(hits) if hydrate else hits
+
+    def expand_prefix(self, field: str, prefix: str,
+                      max_expansions: int = 64) -> list[str]:
+        """Prefix -> matching vocabulary terms from the (vocabulary-sized)
+        term-stats table, highest-df first, ties by term — the
+        deterministic top-N rewrite Lucene's PrefixQuery uses. The
+        StartsWith filter pushes down to the term-sorted parquet as a
+        string range, so this reads a slice of the dictionary, never the
+        postings tree."""
+        key = f"{field}\x01{prefix}"
+        rows = (self.term_stats
+                .filter(F.col("term").startswith(key))
+                .orderBy(F.desc("df_global"), F.asc("term"))
+                .limit(int(max_expansions)).collect())
+        return [r["term"] for r in rows]
+
+    def search_prefix(self, field: str, prefix: str, k: int = 10,
+                      on: int = 0, off: int = 0, or_flags: tuple = (),
+                      max_expansions: int = 64,
+                      hydrate: bool = False) -> DataFrame:
+        """BM25 top-k for a prefix query (``field:prefix*``): expand the
+        prefix against the term dictionary, then serve the expansion as
+        a flat OR through the normal WAND path — rank-identical to
+        spelling the OR out by hand. No reference analog (the reference
+        matches whole keywords only)."""
+        terms = self.expand_prefix(field, prefix, max_expansions)
+        if not terms:
+            return self._empty_hits(hydrate)
+        q = TermQuery(should=tuple(TermQuery(keyword=t) for t in terms)) \
+            if len(terms) > 1 else TermQuery(keyword=terms[0])
+        return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
+                           hydrate=hydrate)
+
+    def facet_counts(self, q: TermQuery, by=("lang",), on: int = 0,
+                     off: int = 0, or_flags: tuple = ()) -> DataFrame:
+        """Facet aggregation over the FULL boolean match set: doc counts
+        grouped by forward-index columns (descending count, then facet
+        values). The match set stays distributed (search_bool ->
+        hydrate_join -> groupBy — one aggregation over a prunable join,
+        nothing collected), so faceting over a billion-match query is
+        the same plan as over ten. No reference analog (the reference
+        returns raw match lists; faceting is the standard search-engine
+        aggregation layered on top)."""
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(matches)
+        return (joined.groupBy(*by)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), *[F.asc(c) for c in by]))
 
     def search_bool(self, q: TermQuery, on: int = 0, off: int = 0,
                     or_flags: tuple = (), hydrate: bool = False) -> DataFrame:

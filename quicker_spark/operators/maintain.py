@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 
 from quicker_spark.io import atomic_write_json, commit_partition_ops
 from quicker_spark.operators.build import IndexConfig, _success, write_wave
+from quicker_spark.operators.positions import refresh_positions
 from quicker_spark.operators.docs import (
     DOC_KEY_COLS,
     prepare_docs,
@@ -151,6 +152,8 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
                 _freeze_old_wave_df(spark, index_dir, old_keys, affected)
             rebuilt = (_rebuild_waves(spark, index_dir, stats, affected,
                                       present) if affected else [])
+            if affected:
+                refresh_positions(spark, index_dir, affected, present)
             if pending.get("ts_staged"):
                 # merged stats durably staged; finish (or skip) the swap
                 _apply_dir_ops(index_dir, [
@@ -164,6 +167,7 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
             # recompute — always correct
             if affected:
                 _rebuild_waves(spark, index_dir, stats, affected, present)
+                refresh_positions(spark, index_dir, affected, present)
             _full_term_stats_recompute(spark, index_dir)
     for rel in (_DOCS_STAGING, _TS_STAGING, _TS_OLD_DELTA):
         shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
@@ -360,6 +364,9 @@ def _commit(spark: SparkSession, index_dir: str, stats: dict,
     pending["delta_frozen"] = True           # before-aggregate is durable
     atomic_write_json(marker, pending)
     rebuilt = _rebuild_waves(spark, index_dir, stats, affected, present)
+    # positional sidecar (if any) follows the same segment granularity;
+    # the rewrite is idempotent, so recovery replays it with the waves
+    refresh_positions(spark, index_dir, affected, present)
     if _stage_delta_term_stats(spark, index_dir, rebuilt, affected):
         pending["ts_staged"] = True           # merged stats are durable
         atomic_write_json(marker, pending)
