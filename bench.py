@@ -128,6 +128,24 @@ def main() -> None:
         lambda: eng.search_bool(And(NewTermQuery("content", "table"),
                                     NewTermQuery("content", "merge"))).count())
 
+    # -- positional sidecar: build + phrase/proximity/prefix/facets ---------
+    from quicker_spark.operators.positions import build_positions
+
+    t0 = time.time()
+    build_positions(spark, out_dir, fields=("content",))
+    timings["positions_build"] = time.time() - t0
+    timings["phrase_top10"] = median_time(
+        lambda: eng.search_phrase(["table", "hash"], k=10).collect())
+    timings["near_top10_gap2"] = median_time(
+        lambda: eng.search_phrase(["table", "hash"], k=10, gap=2).collect())
+    timings["prefix_top10"] = median_time(
+        lambda: eng.search_prefix("content", "s", k=10,
+                                  max_expansions=4096).collect())
+    timings["facet_lang"] = median_time(
+        lambda: eng.facet_counts(
+            And(NewTermQuery("content", "table"),
+                NewTermQuery("content", "merge"))).collect())
+
     # -- training-data operators ---------------------------------------------
     docs = dq.documents(spark, sf_dir)
     emb = dq.embeddings(spark, sf_dir)

@@ -498,6 +498,20 @@ def q_phrase_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+NEAR_GAP = 2
+
+
+def q_near_top10(spark, sf_dir):
+    """Ordered-proximity BM25 top-10: the phrase words with up to
+    NEAR_GAP intervening tokens allowed between them (gap=0 would be
+    the exact phrase — certified separately by `phrase_top10`). The
+    oracle expresses the window with a bounded-repetition regex:
+    `t1 (\\W+ token){0,G} \\W+ t2` over the shared tokenizer spec."""
+    eng = get_pos_engine(spark, sf_dir)
+    hits = eng.search_phrase(list(PHRASE_TERMS), k=10, gap=NEAR_GAP)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_prefix_top10(spark, sf_dir):
     """Prefix query (`content:s*`): term-dictionary expansion (the
     vocabulary-sized term-stats table, Lucene-style deterministic
@@ -825,6 +839,7 @@ QUERIES = {
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
     "phrase_top10": q_phrase_top10,
+    "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
     "facet_lang": q_facet_lang,
     "bm25_batch_top10": q_bm25_batch_top10,
@@ -949,6 +964,13 @@ ORACLE_SQL = {
         cand_base_where=(
             "regexp_matches(lower(text), "
             f"'(^|[^a-z0-9_]){PHRASE_TERMS[0]}[^a-z0-9_]+"
+            f"{PHRASE_TERMS[1]}([^a-z0-9_]|$)')")),
+    "near_top10": sql_bm25_topk(
+        PHRASE_TERMS,
+        cand_base_where=(
+            "regexp_matches(lower(text), "
+            f"'(^|[^a-z0-9_]){PHRASE_TERMS[0]}"
+            f"([^a-z0-9_]+[a-z0-9_]+){{0,{NEAR_GAP}}}[^a-z0-9_]+"
             f"{PHRASE_TERMS[1]}([^a-z0-9_]|$)')")),
     "prefix_top10": sql_bm25_topk(terms_like=f"{PREFIX}%"),
     "facet_lang": (

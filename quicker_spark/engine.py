@@ -208,7 +208,7 @@ def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
 
 def _make_phrase_kernel(phrase_terms: tuple, n_docs: int, avgdl: float,
                         k: int, on: int, off: int, or_flags: tuple,
-                        k1: float, b: float):
+                        k1: float, b: float, gap: int = 0):
     """Per-segment exact-phrase scorer over the positional sidecar rows
     (one row per phrase term present in the segment). idf arrives as the
     broadcast-joined ``df_global`` column, same as the BM25 kernels."""
@@ -235,7 +235,7 @@ def _make_phrase_kernel(phrase_terms: tuple, n_docs: int, avgdl: float,
             idf[r["term"]] = bm25_idf(n_docs, int(r["df_global"]))
         ids, scores = score_segment_phrase(
             list(phrase_terms), decoded, idf, avgdl, k, on, off,
-            or_flags, k1, b)
+            or_flags, k1, b, gap=gap)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -443,7 +443,7 @@ class SearchEngine:
 
     def search_phrase(self, words, field: str = "content", k: int = 10,
                       on: int = 0, off: int = 0, or_flags: tuple = (),
-                      hydrate: bool = False) -> DataFrame:
+                      gap: int = 0, hydrate: bool = False) -> DataFrame:
         """Exact-phrase BM25 top-k over the positional sidecar
         (operators.positions.build_positions must have been run for
         ``field``). Matches docs where the words occur ADJACENTLY IN
@@ -451,7 +451,9 @@ class SearchEngine:
         BM25 sum the AND path uses — a phrase is the AND of its terms
         restricted to adjacent occurrences (no reference analog: the
         reference index stores no positions,
-        skiplist_reverse_index.go:23-36).
+        skiplist_reverse_index.go:23-36). ``gap`` relaxes adjacency to
+        ordered proximity: each next word within ``gap`` intervening
+        tokens of the previous (0 = exact phrase).
 
         Plan shape = the BM25 serving path: term-pruned positions scan
         (row-group stats on term-sorted files), broadcast term stats,
@@ -475,7 +477,7 @@ class SearchEngine:
         kern = _make_phrase_kernel(
             terms, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, on, off, tuple(or_flags), self.stats["k1"],
-            self.stats["b"])
+            self.stats["b"], gap=int(gap))
         pos = (self.spark.read
                .parquet(os.path.join(self.index_dir, "positions"))
                .filter(F.col("term").isin(list(set(terms)))))

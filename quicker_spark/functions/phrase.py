@@ -177,15 +177,19 @@ def occurrence_keys(ids: np.ndarray, tfs: np.ndarray,
 def score_segment_phrase(phrase_terms: list[str], decoded: dict,
                          idf: dict, avgdl: float, k: int,
                          on: int, off: int, or_flags: tuple,
-                         k1: float, b: float):
-    """Exact-phrase matches + BM25 scores for one segment.
+                         k1: float, b: float, gap: int = 0):
+    """Exact-phrase / ordered-proximity matches + BM25 scores for one
+    segment.
 
     ``decoded``: term -> (ids, tfs, dls, bits, pos) from
     :func:`decode_positions_row`; must contain every term in
-    ``phrase_terms`` (callers early-exit otherwise). Returns
-    (doc_ids, scores) with scores = sum over the phrase's DISTINCT terms
-    of idf_t x u(tf_t, dl) — the same per-term math as the AND query
-    path, restricted to docs containing the terms adjacently in order.
+    ``phrase_terms`` (callers early-exit otherwise). ``gap`` is the
+    maximum number of tokens allowed BETWEEN each adjacent pair of
+    phrase words (0 = exact adjacency — the phrase contract; G > 0 =
+    ordered proximity, each next word within G+1 tokens of the
+    previous). Returns (doc_ids, scores) with scores = sum over the
+    phrase's DISTINCT terms of idf_t x u(tf_t, dl) — the same per-term
+    math as the AND query path, restricted to the proximity match set.
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if not phrase_terms:
@@ -194,8 +198,18 @@ def score_segment_phrase(phrase_terms: list[str], decoded: dict,
         decoded[phrase_terms[0]]))
     for t in phrase_terms[1:]:
         d = decoded[t]
-        s = np.intersect1d(s + 1, occurrence_keys(d[0], d[1], d[4]),
-                           assume_unique=True)
+        keys = occurrence_keys(d[0], d[1], d[4])
+        if gap == 0:
+            s = np.intersect1d(s + 1, keys, assume_unique=True)
+        else:
+            # keep occurrences with a prefix end in the window
+            # [p - 1 - gap, p - 1] of the SAME doc (the lower bound is
+            # clamped to the doc's key range so the window can't leak
+            # into the previous doc's positions)
+            lo = np.maximum(keys - 1 - gap,
+                            (keys >> _POS_BITS) << _POS_BITS)
+            s = keys[np.searchsorted(s, lo, side="left")
+                     < np.searchsorted(s, keys, side="left")]
         if not len(s):
             return empty
     match = np.unique(s >> _POS_BITS)

@@ -278,12 +278,18 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
     )
     post = wave_postings(docs_wave, cfg, avgdl)
     # cluster by segment before the write — a few term-hash-salted files
-    # per segment directory (each file term-sorted, so row-group pruning
-    # is intact), not one file per (task x segment) combination; the
-    # salt keeps writer parallelism tracking the cluster instead of the
-    # wave's segment count (same sizing law as the ANN index writer)
+    # per segment directory (each file stays term-sorted through the
+    # split, so row-group pruning is intact), not one file per
+    # (task x segment) combination. Salt sizing: the clustered exchange
+    # runs at min(distinct keys, shuffle partitions) tasks, so target
+    # ~3 keys per SHUFFLE PARTITION — sizing off defaultParallelism
+    # under-fills the write stage whenever segments are few and large
+    # (measured: a 5-segment 1M-doc wave at 8 cores ran its
+    # sort+compress+write at ~half occupancy and broke the 2->8 build
+    # scaling; at 2 cores the loss was invisible, masking it locally)
     par = spark.sparkContext.defaultParallelism
-    n_salt = max(1, -(-2 * par // max(1, len(segs))))
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
+    n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
     writer = (post.repartition(F.col("segment_id"),
                                F.pmod(F.xxhash64("term"), F.lit(n_salt)))
               .sortWithinPartitions("term")

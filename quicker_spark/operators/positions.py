@@ -138,8 +138,11 @@ def write_positions_wave(spark: SparkSession, docs_df: DataFrame,
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         & F.col("segment_id").isin(segs))
     rows = wave_positions(docs_wave, cfg, fields)
+    # same occupancy-targeted salt law as build.write_wave: ~3 keys per
+    # shuffle partition so the clustered write never under-fills slots
     par = spark.sparkContext.defaultParallelism
-    n_salt = max(1, -(-2 * par // max(1, len(segs))))
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
+    n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
     writer = (rows.repartition(F.col("segment_id"),
                                F.pmod(F.xxhash64("term"), F.lit(n_salt)))
               .sortWithinPartitions("term")

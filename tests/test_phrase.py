@@ -127,6 +127,71 @@ def test_phrase_no_sidecar_raises(spark, tmp_path_factory):
         eng.search_phrase(["def", "return"])
 
 
+def _brute_near(toks_by_doc, phrase, gap, k1=1.2, b=0.75, k=10):
+    """Ordered proximity oracle: each next word within gap+1 tokens."""
+    n = len(toks_by_doc)
+    avgdl = sum(len(t) for t in toks_by_doc.values()) / n
+    dfm = {t: sum(1 for toks in toks_by_doc.values() if t in toks)
+           for t in set(phrase)}
+    idf = {t: math.log((n - dfm[t] + 0.5) / (dfm[t] + 0.5) + 1.0)
+           for t in set(phrase)}
+    out = []
+    for d, toks in toks_by_doc.items():
+        ends = {i for i, w in enumerate(toks) if w == phrase[0]}
+        for w in phrase[1:]:
+            ends = {i for i, x in enumerate(toks) if x == w
+                    and any(e < i <= e + 1 + gap for e in ends)}
+            if not ends:
+                break
+        if not ends:
+            continue
+        s = 0.0
+        for t in dict.fromkeys(phrase):
+            tf = toks.count(t)
+            s += idf[t] * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_proximity_matches_brute_force(engine, toks_by_doc):
+    phrase = _pick_phrase(toks_by_doc)
+    for gap in (1, 3):
+        got = [(int(r["doc_id"]), float(r["score"])) for r in
+               engine.search_phrase(phrase, k=10, gap=gap).collect()]
+        exp = _brute_near(toks_by_doc, phrase, gap)
+        assert [d for d, _ in got] == [d for d, _ in exp], gap
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_proximity_widens_with_gap(engine, toks_by_doc):
+    phrase = _pick_phrase(toks_by_doc)
+    sets = []
+    for gap in (0, 2, 8):
+        sets.append({int(r["doc_id"]) for r in
+                     engine.search_phrase(phrase, k=10_000,
+                                          gap=gap).collect()})
+    assert sets[0] <= sets[1] <= sets[2]
+    # and gap=0 equals the dedicated exact-phrase path
+    exact = {int(r["doc_id"])
+             for r in engine.search_phrase(phrase, k=10_000).collect()}
+    assert sets[0] == exact
+
+
+def test_phrase_scan_is_term_pruned(engine):
+    from quicker_spark.plans.term_query import FIELD_SEP
+    df = (engine.spark.read
+          .parquet(engine.index_dir + "/positions")
+          .filter(F.col("term").isin([f"content{FIELD_SEP}def"])))
+    jvm = df.sparkSession._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan or "term IN" in plan
+
+
 def test_prefix_expansion_and_search(engine, toks_by_doc):
     vocab = {t for toks in toks_by_doc.values() for t in toks
              if t.startswith("tok")}
