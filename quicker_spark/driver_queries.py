@@ -223,7 +223,9 @@ def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
                   require_all=False, project=None,
                   cand_having: str | None = None,
                   cand_base_where: str | None = None,
-                  terms_like: str | None = None) -> str:
+                  terms_like: str | None = None,
+                  term_where: str | None = None,
+                  weights: dict[str, float] | None = None) -> str:
     """Exact BM25 top-k oracle over an arbitrary base corpus relation
     (``base`` must yield (doc_id, text)). ``require_all`` restricts
     candidates to docs containing EVERY term (the AND query contract);
@@ -235,10 +237,19 @@ def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
     the term IN-list with a LIKE pattern (prefix queries score every
     vocabulary term matching the prefix); ``project`` overrides the
     final SELECT (for hydration joins)."""
-    if terms_like is not None:
+    if term_where is not None:
+        term_pred = term_where
+    elif terms_like is not None:
         term_pred = f"term LIKE '{terms_like}'"
     else:
         term_pred = "term IN ('" + "','".join(terms) + "')"
+    # per-term boost folded into the idf weight, same float-op order as
+    # the engine's boosted kernels: (idf * w) * u
+    w_expr = "idf.idf"
+    if weights:
+        cases = " ".join(f"WHEN '{t}' THEN {w!r}"
+                         for t, w in sorted(weights.items()))
+        w_expr = f"(idf.idf * (CASE tf.term {cases} ELSE 1.0 END))"
     if require_all:
         cand_having = f"count(DISTINCT term) = {len(terms)}"
     if cand_base_where:
@@ -271,7 +282,7 @@ idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
         FROM df, stats){cand_cte},
 scores AS (
   SELECT tf.doc_id,
-         sum(idf.idf * (tf.tf * (1.2 + 1.0)) /
+         sum({w_expr} * (tf.tf * (1.2 + 1.0)) /
              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
   FROM tf
   JOIN dl ON tf.doc_id = dl.doc_id
@@ -521,6 +532,37 @@ def q_prefix_top10(spark, sf_dir):
     vocabulary or ranks diverge."""
     eng = get_engine(spark, sf_dir)
     hits = eng.search_prefix("content", PREFIX, k=10, max_expansions=4096)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+BOOST_WEIGHTS = {"table": 0.4, "merge": 3.0}
+MF_WORDS = ("table", "en")
+MF_FIELD_BOOSTS = {"content": 1.0, "lang": 0.5}
+
+
+def q_bm25_boosted_top10(spark, sf_dir):
+    """Per-term boosted BM25 (Lucene boost semantics: contribution =
+    (boost * idf) * u) over a flat OR, served through block-max WAND —
+    the pruned path's bounds scale by the boost, so pruning stays
+    lossless under weighting (engine.search boosts kwarg). No reference
+    analog: the reference has no scoring weights."""
+    eng = get_engine(spark, sf_dir)
+    q = Or(*[NewTermQuery("content", t) for t in BOOST_WEIGHTS])
+    boosts = {f"content\x01{t}": w for t, w in BOOST_WEIGHTS.items()}
+    hits = eng.search(q, k=10, boosts=boosts)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_bm25_multifield_top10(spark, sf_dir):
+    """Weighted multi-field search (BM25F-lite): every query word is
+    looked up in every boosted field — here 'table'/'en' across
+    content (w=1.0) and lang (w=0.5); 'en' only exists as a lang term
+    and 'table' only as a content term, so the score mixes a tokenized
+    field with a keyword field under different weights. dl/avgdl remain
+    the CONTENT token counts for all terms (the engine's single
+    doc-length law), which the oracle reproduces."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_fields(list(MF_WORDS), MF_FIELD_BOOSTS, k=10)
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
@@ -838,6 +880,8 @@ QUERIES = {
     "bm25_top10_taat": q_bm25_top10_taat,
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
+    "bm25_boosted_top10": q_bm25_boosted_top10,
+    "bm25_multifield_top10": q_bm25_multifield_top10,
     "phrase_top10": q_phrase_top10,
     "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
@@ -959,6 +1003,46 @@ ORACLE_SQL = {
     "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
     "bm25_nested_top10": sql_bm25_topk(NESTED_OR + (NESTED_MUST,),
                                        cand_having=_NESTED_HAVING),
+    "bm25_boosted_top10": sql_bm25_topk(
+        tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),
+    "bm25_multifield_top10": f"""
+WITH base AS (SELECT doc_id, text, lang FROM documents),
+toks AS (SELECT doc_id, t.term FROM base,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)),
+dl AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::double AS dl
+       FROM base),
+stats AS (SELECT count(*)::double AS n,
+                 sum(dl)::double / count(*)::double AS avgdl FROM dl),
+-- the engine's term space is field-namespaced: content terms come from
+-- the tokenized text, lang terms are the verbatim lang value with tf=1;
+-- dl stays the CONTENT token count for both (the engine's doc-length law)
+tf AS (
+  SELECT doc_id, 'c:' || term AS term, count(*)::double AS tf,
+         {MF_FIELD_BOOSTS["content"]!r}::double AS w
+  FROM toks WHERE term IN ('{MF_WORDS[0]}','{MF_WORDS[1]}')
+  GROUP BY doc_id, term
+  UNION ALL
+  SELECT doc_id, 'l:' || lang AS term, 1.0::double AS tf,
+         {MF_FIELD_BOOSTS["lang"]!r}::double AS w
+  FROM base WHERE lang IN ('{MF_WORDS[0]}','{MF_WORDS[1]}')
+),
+df AS (SELECT term, count(*)::double AS dfv FROM tf GROUP BY term),
+idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
+        FROM df, stats),
+scores AS (
+  SELECT tf.doc_id,
+         sum((idf.idf * tf.w) * (tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.term = idf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+""",
     "phrase_top10": sql_bm25_topk(
         PHRASE_TERMS,
         cand_base_where=(

@@ -34,7 +34,7 @@ from quicker_spark.functions.kernels import (
     score_segment_wand,
 )
 from quicker_spark.model import bm25_idf
-from quicker_spark.plans.term_query import TermQuery
+from quicker_spark.plans.term_query import NewTermQuery, Or, TermQuery
 
 
 def _row_to_encoded(row: pd.Series, block_size: int) -> EncodedPostings:
@@ -76,7 +76,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                         k: int, on: int, off: int, or_flags: tuple,
                         k1: float, b: float, block_size: int,
                         enc_cache: dict | None = None,
-                        dec_cache: dict | None = None):
+                        dec_cache: dict | None = None,
+                        boosts: dict | None = None):
     """Score ONE query against one segment's posting rows (``pdf``: one
     row per query term present in the segment) -> (doc_ids, scores).
 
@@ -117,6 +118,15 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
         r["term"]: bm25_idf(n_docs, int(r["df_global"]))
         for _, r in pdf.iterrows()
     }
+    if boosts:
+        # per-term boost folds into the idf WEIGHT (Lucene boost
+        # semantics: contribution = (boost * idf) * u). Both pruned
+        # scorers derive their block-max bounds from this same weight
+        # (ub += w * block_max_u), so a boost scales the admissible
+        # bound with the score and WAND/conj pruning stays lossless.
+        # Positive-only (engine validates): a negative weight would
+        # make w * block_max an UNDER-estimate and break admissibility.
+        idf = {t: boosts.get(t, 1.0) * v for t, v in idf.items()}
 
     def encoded(r) -> EncodedPostings:
         if enc_cache is None:
@@ -152,17 +162,18 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       k: int, on: int, off: int, or_flags: tuple,
                       k1: float, b: float, block_size: int, strategy: str,
-                      n_query_terms: int):
+                      n_query_terms: int, boosts: tuple = ()):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
     is executor-side data, never driver state)."""
     query = json.loads(query_json)
+    boost_map = dict(boosts) if boosts else None
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, scores = _score_segment_rows(
             pdf, query, strategy, n_query_terms, n_docs, avgdl,
-            k, on, off, or_flags, k1, b, block_size)
+            k, on, off, or_flags, k1, b, block_size, boosts=boost_map)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -313,6 +324,7 @@ class SearchEngine:
     # -- search -------------------------------------------------------------
     def search(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
                or_flags: tuple = (), mode: str = "auto",
+               boosts: dict[str, float] | None = None,
                hydrate: bool = False) -> DataFrame:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
@@ -323,10 +335,20 @@ class SearchEngine:
         pruned path when the query shape allows AND the per-segment term
         stats say pruning can pay; all paths are lossless, so the choice
         affects latency only, never results).
+
+        ``boosts``: optional term-key -> positive weight map (Lucene
+        boost semantics): a boosted term contributes
+        ``boost * idf * u(tf, dl)``. Weights must be > 0 — the pruned
+        paths scale their block-max bounds by the same weight, which is
+        only an upper bound for positive weights.
         """
         terms = q.terms()
         if not terms:
             return self._empty_hits(hydrate)
+        if boosts:
+            bad = {t: w for t, w in boosts.items() if not w > 0}
+            if bad:
+                raise ValueError(f"boosts must be > 0: {bad}")
         if mode == "auto":
             strategy = ("wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
@@ -353,6 +375,7 @@ class SearchEngine:
             q.to_json(), int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
             self.stats["block_size"], strategy, len(terms),
+            boosts=tuple(sorted((boosts or {}).items())),
         )
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(terms))))
@@ -520,6 +543,34 @@ class SearchEngine:
         q = TermQuery(should=tuple(TermQuery(keyword=t) for t in terms)) \
             if len(terms) > 1 else TermQuery(keyword=terms[0])
         return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
+                           hydrate=hydrate)
+
+    def search_fields(self, words, field_boosts: dict[str, float],
+                      k: int = 10, on: int = 0, off: int = 0,
+                      or_flags: tuple = (), mode: str = "auto",
+                      hydrate: bool = False) -> DataFrame:
+        """Weighted multi-field search (Lucene multi-field query with
+        field boosts — BM25F-lite): each word is looked up in every
+        field of ``field_boosts`` and scored as a flat OR whose per-term
+        contribution is ``weight_field * idf_term * u(tf, dl)``. Serves
+        through the normal pruned WAND path (boosted bounds stay
+        admissible — see :meth:`search`). No reference analog: the
+        reference namespaces terms by field (gen/document.go:3-9) but
+        has no per-field weighting."""
+        if isinstance(words, str):
+            words = [words]
+        terms: list[TermQuery] = []
+        boosts: dict[str, float] = {}
+        for f, w in sorted(field_boosts.items()):
+            for word in words:
+                t = NewTermQuery(f, word)
+                if t.keyword:
+                    terms.append(t)
+                    boosts[t.keyword] = float(w)
+        if not terms:
+            return self._empty_hits(hydrate)
+        return self.search(Or(*terms), k=k, on=on, off=off,
+                           or_flags=or_flags, mode=mode, boosts=boosts,
                            hydrate=hydrate)
 
     def facet_counts(self, q: TermQuery, by=("lang",), on: int = 0,
