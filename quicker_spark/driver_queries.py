@@ -566,6 +566,23 @@ def q_bm25_multifield_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+def q_bm25_page2_top10(spark, sf_dir):
+    """Deep paging via search_after (Elasticsearch semantics): page 1's
+    last (score, doc_id) becomes the cursor, and page 2 is the top-10
+    strictly after that rank position. The cursor filter runs INSIDE
+    each segment kernel before its heap, so page N costs page-1 work —
+    no per-segment offset+k result growth (the property that keeps deep
+    paging viable at thousand-segment scale). The oracle is the same
+    rank order at OFFSET 10: cursor paging must tile the total order
+    exactly, including the recomputed-float tie comparison."""
+    eng = get_engine(spark, sf_dir)
+    q = Or(*[NewTermQuery("content", t) for t in BM25_TERMS])
+    p1 = eng.search(q, k=10).collect()
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    hits = eng.search(q, k=10, after=cursor)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_facet_lang(spark, sf_dir):
     """Facet aggregation over the FULL boolean match set of an AND
     query: doc counts by lang (the standard search-engine facet layered
@@ -882,6 +899,7 @@ QUERIES = {
     "bm25_nested_top10": q_bm25_nested_top10,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
+    "bm25_page2_top10": q_bm25_page2_top10,
     "phrase_top10": q_phrase_top10,
     "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
@@ -1005,6 +1023,9 @@ ORACLE_SQL = {
                                        cand_having=_NESTED_HAVING),
     "bm25_boosted_top10": sql_bm25_topk(
         tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),
+    "bm25_page2_top10": sql_bm25_topk(project=(
+        "SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 "
+        "FROM scores ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10")),
     "bm25_multifield_top10": f"""
 WITH base AS (SELECT doc_id, text, lang FROM documents),
 toks AS (SELECT doc_id, t.term FROM base,

@@ -77,7 +77,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                         k1: float, b: float, block_size: int,
                         enc_cache: dict | None = None,
                         dec_cache: dict | None = None,
-                        boosts: dict | None = None):
+                        boosts: dict | None = None,
+                        after: tuple | None = None):
     """Score ONE query against one segment's posting rows (``pdf``: one
     row per query term present in the segment) -> (doc_ids, scores).
 
@@ -144,7 +145,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                     for _, r in pdf.iterrows()}
         scorer = (score_segment_wand if strat == "wand"
                   else score_segment_conjunctive)
-        return scorer(postings, idf, avgdl, k, on, off, or_flags, k1, b)
+        return scorer(postings, idf, avgdl, k, on, off, or_flags, k1, b,
+                      after=after)
     if dec_cache is None:
         decoded = {r["term"]: _row_to_encoded(r, block_size).decode_all()
                    for _, r in pdf.iterrows()}
@@ -156,13 +158,15 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                 d = dec_cache[r["term"]] = encoded(r).decode_all()
             decoded[r["term"]] = d
     return score_segment_exhaustive(
-        query, decoded, idf, avgdl, k, on, off, or_flags, k1, b)
+        query, decoded, idf, avgdl, k, on, off, or_flags, k1, b,
+        after=after)
 
 
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       k: int, on: int, off: int, or_flags: tuple,
                       k1: float, b: float, block_size: int, strategy: str,
-                      n_query_terms: int, boosts: tuple = ()):
+                      n_query_terms: int, boosts: tuple = (),
+                      after: tuple | None = None):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
@@ -173,7 +177,8 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, scores = _score_segment_rows(
             pdf, query, strategy, n_query_terms, n_docs, avgdl,
-            k, on, off, or_flags, k1, b, block_size, boosts=boost_map)
+            k, on, off, or_flags, k1, b, block_size, boosts=boost_map,
+            after=after)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -325,6 +330,7 @@ class SearchEngine:
     def search(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
                or_flags: tuple = (), mode: str = "auto",
                boosts: dict[str, float] | None = None,
+               after: tuple[float, int] | None = None,
                hydrate: bool = False) -> DataFrame:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
@@ -341,6 +347,16 @@ class SearchEngine:
         ``boost * idf * u(tf, dl)``. Weights must be > 0 — the pruned
         paths scale their block-max bounds by the same weight, which is
         only an upper bound for positive weights.
+
+        ``after``: optional (score, doc_id) paging cursor — the last hit
+        of the previous page. The result is the top-k strictly AFTER
+        that rank position (Elasticsearch search_after semantics). Each
+        segment kernel filters at the cursor BEFORE its heap, so page N
+        costs the same as page 1 — no per-segment ``offset + k`` result
+        growth, the property that makes deep paging viable at
+        thousand-segment scale. Cursor scores must come from a prior
+        result of this engine (the kernels recompute scores
+        bitwise-identically, so the tie comparison is exact).
         """
         terms = q.terms()
         if not terms:
@@ -349,6 +365,8 @@ class SearchEngine:
             bad = {t: w for t, w in boosts.items() if not w > 0}
             if bad:
                 raise ValueError(f"boosts must be > 0: {bad}")
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         if mode == "auto":
             strategy = ("wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
@@ -375,7 +393,7 @@ class SearchEngine:
             q.to_json(), int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
             self.stats["block_size"], strategy, len(terms),
-            boosts=tuple(sorted((boosts or {}).items())),
+            boosts=tuple(sorted((boosts or {}).items())), after=after,
         )
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(terms))))

@@ -369,10 +369,13 @@ def score_segment_exhaustive(
     or_flags=(),
     k1: float = K1,
     b: float = B,
+    after: tuple[float, int] | None = None,
 ):
     """Boolean-filter + BM25-score one segment, vectorized TAAT.
 
     ``term_postings``: term -> decoded (ids, tfs, dls, bits), ids ascending.
+    ``after``: optional (score, doc_id) paging cursor — the top-k is taken
+    over docs strictly after it in (score desc, doc_id asc) rank order.
     Returns (doc_ids, scores) of the segment-local top-k, ordered by
     (score desc, doc_id asc).
     """
@@ -397,6 +400,11 @@ def score_segment_exhaustive(
         pos_c = np.clip(pos, 0, fids.size - 1)
         hit = fids[pos_c] == cands
         scores[hit] += idf.get(t, 0.0) * u[pos_c[hit]]
+
+    if after is not None:
+        cands, scores = _rank_after(cands, scores, after)
+        if cands.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
     if cands.size > k:
         # threshold-select (keeps ALL boundary ties), then sort survivors
@@ -505,13 +513,28 @@ def _check_bounds(encs: list[EncodedPostings]) -> None:
                 "WAND scoring (bounds are derived at query time)")
 
 
-def _push_candidates(heap, k, theta, cand, scores) -> float:
+def _rank_after(cand: np.ndarray, scores: np.ndarray, after):
+    """Keep only docs strictly AFTER the ``(score, doc_id)`` cursor in
+    (score desc, doc_id asc) rank order. Cursor scores come from a prior
+    result of the same deterministic kernels, so the float equality in
+    the tie branch is exact (bitwise-identical recomputation)."""
+    cs, cd = after
+    m = (scores < cs) | ((scores == cs) & (cand > cd))
+    return cand[m], scores[m]
+
+
+def _push_candidates(heap, k, theta, cand, scores, after=None) -> float:
     """Feed one interval's scored candidates (ascending ids) into the
     (score, -doc_id) min-heap; returns the updated threshold. Candidates
     ascend past every existing heap id, so prefiltering on score > theta
-    can never drop a doc that would have entered later."""
+    can never drop a doc that would have entered later. ``after`` drops
+    docs at-or-before the paging cursor BEFORE they can enter the heap,
+    so the threshold only ever rises from post-cursor docs (pruning
+    stays lossless for the page's true top-k)."""
     import heapq
 
+    if after is not None:
+        cand, scores = _rank_after(cand, scores, after)
     if len(heap) >= k:
         sel = np.nonzero(scores > theta)[0]
     else:
@@ -535,10 +558,17 @@ def score_segment_wand(
     or_flags=(),
     k1: float = K1,
     b: float = B,
+    after: tuple[float, int] | None = None,
 ):
     """Block-max WAND top-k over a flat OR-of-terms query in one segment
     (interval-at-a-time; see the section comment above for the pruning
     and losslessness argument).
+
+    ``after``: optional (score, doc_id) paging cursor — only docs
+    strictly after it in (score desc, doc_id asc) rank order are
+    admitted to the heap (deep paging without per-segment offset+k
+    growth; the interval bound check is unchanged and stays admissible
+    because the heap threshold only rises from admitted docs).
 
     Returns (doc_ids, scores) ordered by (score desc, doc_id asc).
     """
@@ -591,7 +621,7 @@ def score_segment_wand(
                 pos_c = np.clip(pos, 0, len(fids_s) - 1)
                 hit = fids_s[pos_c] == cand
                 scores[hit] += fc_s[pos_c[hit]]
-        theta = _push_candidates(heap, k, theta, cand, scores)
+        theta = _push_candidates(heap, k, theta, cand, scores, after)
     return _finalize_heap(heap)
 
 
@@ -605,10 +635,12 @@ def score_segment_conjunctive(
     or_flags=(),
     k1: float = K1,
     b: float = B,
+    after: tuple[float, int] | None = None,
 ):
     """Top-k over a flat AND-of-terms query: interval-at-a-time block-max
     intersection (the BMW bound applied to the conjunction; see the
-    section comment above).
+    section comment above). ``after``: paging cursor, same contract as
+    :func:`score_segment_wand`.
 
     Per passing interval the RAREST term is sliced first — if its slice
     is empty the interval is abandoned before any other term decodes a
@@ -672,7 +704,7 @@ def score_segment_conjunctive(
         for ti in range(len(terms)):  # lex term order = TAAT float order
             fids, fc = filt[ti].get(int(blk_idx[ti][i]))
             scores += fc[np.searchsorted(fids, cand)]
-        theta = _push_candidates(heap, k, theta, cand, scores)
+        theta = _push_candidates(heap, k, theta, cand, scores, after)
     return _finalize_heap(heap)
 
 
