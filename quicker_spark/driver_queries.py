@@ -583,6 +583,24 @@ def q_bm25_page2_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+FUZZY_WORD, FUZZY_EDITS = "sar", 2
+
+
+def q_fuzzy_top10(spark, sf_dir):
+    """Fuzzy query (`content:sar~2`): Levenshtein-bounded dictionary
+    expansion (required common prefix anchors the term-stats scan to a
+    pushed-down string range, Lucene-style), served as a scored OR
+    through WAND — each expansion keeps its own idf. The oracle scores
+    every vocabulary token within the edit budget via DuckDB's
+    levenshtein, so the engine's expansion must be exactly the matching
+    vocabulary or ranks diverge."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_fuzzy("content", FUZZY_WORD, k=10,
+                            max_edits=FUZZY_EDITS, prefix_len=1,
+                            max_expansions=4096)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_facet_lang(spark, sf_dir):
     """Facet aggregation over the FULL boolean match set of an AND
     query: doc counts by lang (the standard search-engine facet layered
@@ -900,6 +918,7 @@ QUERIES = {
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
+    "fuzzy_top10": q_fuzzy_top10,
     "phrase_top10": q_phrase_top10,
     "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
@@ -1026,6 +1045,9 @@ ORACLE_SQL = {
     "bm25_page2_top10": sql_bm25_topk(project=(
         "SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 "
         "FROM scores ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10")),
+    "fuzzy_top10": sql_bm25_topk(term_where=(
+        f"levenshtein(term, '{FUZZY_WORD}') <= {FUZZY_EDITS} "
+        f"AND term LIKE '{FUZZY_WORD[0]}%'")),
     "bm25_multifield_top10": f"""
 WITH base AS (SELECT doc_id, text, lang FROM documents),
 toks AS (SELECT doc_id, t.term FROM base,

@@ -563,6 +563,58 @@ class SearchEngine:
         return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
                            hydrate=hydrate)
 
+    def expand_fuzzy(self, field: str, word: str, max_edits: int = 1,
+                     prefix_len: int = 1,
+                     max_expansions: int = 64) -> list[str]:
+        """Fuzzy expansion (Lucene FuzzyQuery rewrite): vocabulary terms
+        within ``max_edits`` Levenshtein distance of ``word``. The first
+        ``prefix_len`` characters must match literally — Lucene's
+        required common prefix — which turns the dictionary scan into a
+        pushed-down string-range slice of the term-sorted parquet
+        instead of a full vocabulary pass (at web scale the vocabulary
+        is billions of terms; an unanchored scan per query is the wrong
+        plan, so prefix_len=0 is allowed but costs a full slice). A
+        cheap length-band prefilter (|len(t)| within max_edits of
+        len(word)) runs JVM-side before the levenshtein; selection is
+        deterministic: distance asc, then df desc, then term asc, top
+        ``max_expansions``."""
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        pref = f"{field}\x01{word[:prefix_len]}" if prefix_len \
+            else f"{field}\x01"
+        wordpart = F.expr(f"substring(term, {len(field) + 2})")
+        dist = F.levenshtein(wordpart, F.lit(word))
+        rows = (self.term_stats
+                .filter(F.col("term").startswith(pref))
+                .filter(F.abs(F.length(wordpart) - F.lit(len(word)))
+                        <= F.lit(int(max_edits)))
+                .withColumn("_d", dist)
+                .filter(F.col("_d") <= F.lit(int(max_edits)))
+                .orderBy(F.asc("_d"), F.desc("df_global"), F.asc("term"))
+                .limit(int(max_expansions)).collect())
+        return [r["term"] for r in rows]
+
+    def search_fuzzy(self, field: str, word: str, k: int = 10,
+                     max_edits: int = 1, prefix_len: int = 1,
+                     on: int = 0, off: int = 0, or_flags: tuple = (),
+                     max_expansions: int = 64,
+                     hydrate: bool = False) -> DataFrame:
+        """BM25 top-k for a fuzzy term (``field:word~max_edits``):
+        expand against the term dictionary, then serve the expansion as
+        a flat OR through the normal WAND path — rank-identical to
+        spelling the OR out by hand. Each expansion scores with its OWN
+        idf (a rare misspelling outranks its common neighbor for docs
+        that contain it — Lucene's constant-score rewrite is a
+        different, cheaper contract; this is the scoring one). No
+        reference analog (whole-keyword matching only)."""
+        terms = self.expand_fuzzy(field, word, max_edits, prefix_len,
+                                  max_expansions)
+        if not terms:
+            return self._empty_hits(hydrate)
+        q = Or(*[TermQuery(keyword=t) for t in terms])
+        return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
+                           hydrate=hydrate)
+
     def search_fields(self, words, field_boosts: dict[str, float],
                       k: int = 10, on: int = 0, off: int = 0,
                       or_flags: tuple = (), mode: str = "auto",

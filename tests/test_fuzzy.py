@@ -1,0 +1,97 @@
+"""Fuzzy term search (Lucene FuzzyQuery shape: dictionary expansion
+within a Levenshtein budget, anchored by a required common prefix,
+served as a scored OR through WAND)."""
+
+import pytest
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_df, corpus_pdf
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.oracle import Oracle
+from quicker_spark.plans.term_query import NewTermQuery, Or
+
+N_DOCS = 300
+CFG = IndexConfig(seg_docs=80, n_salts=2, wave_segments=2, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fuzzy_index"))
+    build_index(spark, corpus_df(spark, N_DOCS, partitions=4), out, CFG)
+    return SearchEngine(spark, out)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return Oracle(corpus_pdf(N_DOCS))
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _vocab(oracle, field="content"):
+    pre = field + "\x01"
+    return {t[len(pre):] for t in oracle.postings if t.startswith(pre)}
+
+
+def test_expansion_matches_brute_force(engine, oracle):
+    word, d, p = "tok50", 1, 3
+    got = set(engine.expand_fuzzy("content", word, max_edits=d,
+                                  prefix_len=p, max_expansions=10_000))
+    exp = {f"content\x01{t}" for t in _vocab(oracle)
+           if t.startswith(word[:p]) and _lev(t, word) <= d}
+    assert got == exp and len(exp) >= 3
+
+
+def test_expansion_cap_is_deterministic(engine, oracle):
+    word = "tok50"
+    full = engine.expand_fuzzy("content", word, max_edits=1,
+                               prefix_len=3, max_expansions=10_000)
+    capped = engine.expand_fuzzy("content", word, max_edits=1,
+                                 prefix_len=3, max_expansions=4)
+    # cap keeps the (distance asc, df desc, term asc) head of the order
+    pre = "content\x01"
+    dfm = {t: len(oracle.postings[t]) for t in full}
+    key = lambda t: (_lev(t[len(pre):], word), -dfm[t], t)
+    assert capped == sorted(full, key=key)[:4]
+
+
+def test_prefix_anchor(engine):
+    for t in engine.expand_fuzzy("content", "tok50", max_edits=2,
+                                 prefix_len=3, max_expansions=10_000):
+        assert t.startswith("content\x01tok")
+
+
+def test_fuzzy_search_matches_expanded_or(engine, oracle):
+    terms = engine.expand_fuzzy("content", "tok50", max_edits=1,
+                                prefix_len=3, max_expansions=10_000)
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           engine.search_fuzzy("content", "tok50", k=10, max_edits=1,
+                               prefix_len=3,
+                               max_expansions=10_000).collect()]
+    q = Or(*[NewTermQuery("content", t.split("\x01", 1)[1])
+             for t in terms])
+    exp = [(h.doc_id, h.score) for h in oracle.search_topk(q, k=10)]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
+
+
+def test_zero_edits_is_exact(engine):
+    fz = [(int(r["doc_id"]), float(r["score"])) for r in
+          engine.search_fuzzy("content", "tok50", k=10,
+                              max_edits=0).collect()]
+    ex = [(int(r["doc_id"]), float(r["score"])) for r in
+          engine.search(NewTermQuery("content", "tok50"), k=10).collect()]
+    assert fz == ex
+
+
+def test_no_match_is_empty(engine):
+    assert engine.search_fuzzy("content", "zzzzzzz", k=10).count() == 0
