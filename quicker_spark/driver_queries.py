@@ -601,6 +601,50 @@ def q_fuzzy_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+HL_WINDOW = 3
+
+
+def q_highlight_top10(spark, sf_dir):
+    """Keyword-in-context snippets for the flagship OR query's top-10:
+    first occurrence ordinal of ANY query term per hit (read from the
+    positional sidecar — occurrence discovery never re-scans text) plus
+    the +-3-token context sliced from the hydrated payloads. The oracle
+    recomputes ordinals with DuckDB list functions over the same
+    tokenizer spec, so sidecar ordinals, tie handling across terms, and
+    window clamping must all agree exactly."""
+    eng = get_pos_engine(spark, sf_dir)
+    q = Or(*[NewTermQuery("content", t) for t in BM25_TERMS])
+    hits = eng.search(q, k=10)
+    hl = eng.highlight(hits, list(BM25_TERMS), window=HL_WINDOW)
+    return hl.select("doc_id", x4(F.col("score")).alias("score_x4"),
+                     "first_tok", "snippet")
+
+
+def _sql_first_tok(terms) -> str:
+    cases = ", ".join(
+        f"CASE WHEN list_position(toks, '{t}') = 0 THEN 2147483647 "
+        f"ELSE list_position(toks, '{t}') END" for t in terms)
+    return f"least({cases})"
+
+
+SQL_HIGHLIGHT_PROJECT = f"""
+SELECT t.doc_id, round(t.score * 10000.0)::bigint AS score_x4,
+       (t.ft1 - 1)::bigint AS first_tok,
+       array_to_string(
+         t.toks[greatest(1, t.ft1 - {HL_WINDOW}) : t.ft1 + {HL_WINDOW}],
+         ' ') AS snippet
+FROM (
+  SELECT s.doc_id, s.score, {_sql_first_tok(BM25_TERMS)} AS ft1, ta.toks
+  FROM (SELECT doc_id, score FROM scores
+        ORDER BY score DESC, doc_id LIMIT 10) s
+  JOIN (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        FROM base) ta ON s.doc_id = ta.doc_id
+) t
+ORDER BY t.score DESC, t.doc_id
+"""
+
+
 def q_facet_lang(spark, sf_dir):
     """Facet aggregation over the FULL boolean match set of an AND
     query: doc counts by lang (the standard search-engine facet layered
@@ -919,6 +963,7 @@ QUERIES = {
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
     "fuzzy_top10": q_fuzzy_top10,
+    "highlight_top10": q_highlight_top10,
     "phrase_top10": q_phrase_top10,
     "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
@@ -1048,6 +1093,7 @@ ORACLE_SQL = {
     "fuzzy_top10": sql_bm25_topk(term_where=(
         f"levenshtein(term, '{FUZZY_WORD}') <= {FUZZY_EDITS} "
         f"AND term LIKE '{FUZZY_WORD[0]}%'")),
+    "highlight_top10": sql_bm25_topk(project=SQL_HIGHLIGHT_PROJECT),
     "bm25_multifield_top10": f"""
 WITH base AS (SELECT doc_id, text, lang FROM documents),
 toks AS (SELECT doc_id, t.term FROM base,

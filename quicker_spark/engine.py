@@ -531,6 +531,101 @@ class SearchEngine:
         hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return self.hydrate(hits) if hydrate else hits
 
+    def highlight(self, hits: DataFrame, words, field: str = "content",
+                  window: int = 5) -> DataFrame:
+        """Keyword-in-context snippets for POST-LIMIT hits: for each hit
+        doc, ``first_tok`` is the smallest token ordinal (0-based, under
+        the engine tokenizer spec) at which ANY of ``words`` occurs —
+        read from the POSITIONAL SIDECAR, not by re-scanning the text
+        (occurrence discovery at 10^12 docs must come from the index;
+        only the k hit payloads are ever tokenized) — and ``snippet`` is
+        the +-``window``-token context sliced from the hydrated content.
+        Returns (doc_id, score, first_tok, snippet); hits where no word
+        has a sidecar occurrence (e.g. a lang-field-only match) are kept
+        with first_tok = -1 and an empty snippet. Input contract matches
+        :meth:`hydrate`: post-limit hits only (> _HYDRATE_MAX raises).
+        No reference analog (the reference index stores no positions,
+        skiplist_reverse_index.go:23-36)."""
+        from quicker_spark.functions.phrase import decode_positions_row
+        from quicker_spark.functions.tokenize import tokenize_py
+        from quicker_spark.operators.positions import positions_meta
+
+        meta = positions_meta(self.index_dir)
+        if meta is None:
+            raise ValueError(
+                "highlight() needs the positional sidecar: run "
+                "operators.positions.build_positions(spark, index_dir)")
+        if field not in meta["fields"]:
+            raise ValueError(
+                f"field {field!r} has no positions (sidecar covers "
+                f"{meta['fields']})")
+        terms = sorted({f"{field}\x01{str(w).lower()}"
+                        for w in words if str(w)})
+        rows = hits.limit(_HYDRATE_MAX + 1).collect()
+        if len(rows) > _HYDRATE_MAX:
+            raise ValueError(
+                f"highlight() is a post-limit operation "
+                f"(> {_HYDRATE_MAX} rows supplied)")
+        if not rows or not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, first_tok long, "
+                    "snippet string")
+        hit_ids = np.array(sorted(int(r["doc_id"]) for r in rows),
+                           dtype=np.int64)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            best: dict[int, int] = {}
+            for _, r in pdf.iterrows():
+                ids_, tfs, _dls, _bits, pos = decode_positions_row(
+                    bytes(r["ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+                    bytes(r["bits"]), bytes(r["pos"]))
+                if not len(ids_):
+                    continue
+                starts = np.zeros(len(tfs), dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                first = pos[starts]  # positions ascend within a doc
+                sel = np.isin(ids_, hit_ids)
+                for d, f in zip(ids_[sel], first[sel]):
+                    d = int(d)
+                    if d not in best or f < best[d]:
+                        best[d] = int(f)
+            return pd.DataFrame({"doc_id": list(best),
+                                 "first_tok": list(best.values())})
+
+        seg_docs = int(self.stats["seg_docs"])
+        segs = sorted({int(i) // seg_docs for i in hit_ids})
+        pos_df = (self.spark.read
+                  .parquet(os.path.join(self.index_dir, "positions"))
+                  .filter(F.col("segment_id").isin(segs))
+                  .filter(F.col("term").isin(terms)))
+        firsts = (pos_df.groupBy("segment_id")
+                  .applyInPandas(kern, "doc_id long, first_tok long"))
+
+        w = int(window)
+
+        @F.pandas_udf("string")
+        def snip(content: pd.Series, ft: pd.Series) -> pd.Series:
+            out = []
+            for text, j in zip(content, ft):
+                j = int(j)
+                if j < 0:
+                    out.append("")
+                    continue
+                toks = tokenize_py(text)
+                out.append(" ".join(toks[max(0, j - w): j + w + 1]))
+            return pd.Series(out, dtype="object")
+
+        hits_local = self.spark.createDataFrame(rows, hits.schema)
+        payload = self.lookup([int(i) for i in hit_ids]).select(
+            "doc_id", "content")
+        return (F.broadcast(hits_local)
+                .join(payload, "doc_id", "inner")
+                .join(firsts, "doc_id", "left")
+                .fillna(-1, subset=["first_tok"])
+                .select("doc_id", "score", "first_tok",
+                        snip(F.col("content"),
+                             F.col("first_tok")).alias("snippet")))
+
     def expand_prefix(self, field: str, prefix: str,
                       max_expansions: int = 64) -> list[str]:
         """Prefix -> matching vocabulary terms from the (vocabulary-sized)

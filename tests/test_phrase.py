@@ -222,6 +222,54 @@ def test_facet_counts_match_forward_index(engine, spark):
     assert got == exp and sum(got.values()) == len(match_ids)
 
 
+
+# -- highlight / snippets -----------------------------------------------------
+
+
+def test_highlight_matches_brute_force(engine, toks_by_doc):
+    from quicker_spark.plans.term_query import NewTermQuery, Or
+
+    words = ["def", "tok100"]
+    hits = engine.search(
+        Or(*[NewTermQuery("content", w) for w in words]), k=10)
+    got = {int(r["doc_id"]): (int(r["first_tok"]), r["snippet"])
+           for r in engine.highlight(hits, words, window=3).collect()}
+    assert len(got) == 10
+    for d, (ft, snippet) in got.items():
+        toks = toks_by_doc[d]
+        firsts = [toks.index(w) for w in words if w in toks]
+        j = min(firsts)
+        assert ft == j, d
+        assert snippet == " ".join(toks[max(0, j - 3): j + 4]), d
+
+
+def test_highlight_scores_survive(engine):
+    from quicker_spark.plans.term_query import NewTermQuery
+
+    hits = engine.search(NewTermQuery("content", "def"), k=5)
+    want = {int(r["doc_id"]): float(r["score"]) for r in hits.collect()}
+    got = {int(r["doc_id"]): float(r["score"])
+           for r in engine.highlight(hits, ["def"]).collect()}
+    assert got == want
+
+
+def test_highlight_absent_word_keeps_hit(engine):
+    from quicker_spark.plans.term_query import NewTermQuery
+
+    hits = engine.search(NewTermQuery("content", "def"), k=5)
+    rows = engine.highlight(hits, ["zzz_not_a_token"]).collect()
+    assert len(rows) == 5
+    assert all(int(r["first_tok"]) == -1 and r["snippet"] == ""
+               for r in rows)
+
+
+def test_highlight_unindexed_field_raises(engine):
+    from quicker_spark.plans.term_query import NewTermQuery
+
+    hits = engine.search(NewTermQuery("content", "def"), k=3)
+    with pytest.raises(ValueError):
+        engine.highlight(hits, ["def"], field="repo")
+
 # LAST in the module: mutates the shared index, so the module-scoped
 # engine's cached DataFrames point at rewritten files afterwards
 def test_phrase_survives_maintenance(spark, engine, index_dir,
