@@ -146,6 +146,32 @@ def main() -> None:
             And(NewTermQuery("content", "table"),
                 NewTermQuery("content", "merge"))).collect())
 
+    # -- boosted / fuzzy / paging / highlight serving ------------------------
+    or_q = Or(NewTermQuery("content", "table"),
+              NewTermQuery("content", "merge"))
+    timings["bm25_boosted_top10"] = median_time(
+        lambda: eng.search(or_q, k=10, boosts={
+            "content\x01table": 0.4, "content\x01merge": 3.0}).collect())
+    timings["fuzzy_top10"] = median_time(
+        lambda: eng.search_fuzzy("content", "tablr", k=10,
+                                 max_edits=2).collect())
+    _p1 = eng.search(or_q, k=10).collect()
+    _cursor = (float(_p1[-1]["score"]), int(_p1[-1]["doc_id"]))
+    timings["bm25_page2_top10"] = median_time(
+        lambda: eng.search(or_q, k=10, after=_cursor).collect())
+    timings["highlight_top10"] = median_time(
+        lambda: eng.highlight(eng.search(or_q, k=10),
+                              ["table", "merge"]).collect())
+    timings["regexp_top10"] = median_time(
+        lambda: eng.search_regexp("content", "s[ctl][a-z]+", k=10).collect())
+    timings["sorted_top12"] = median_time(
+        lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
+    timings["facet_stats"] = median_time(
+        lambda: eng.facet_stats(
+            And(NewTermQuery("content", "table"),
+                NewTermQuery("content", "merge")),
+            on_col="doc_len").collect())
+
     # -- training-data operators ---------------------------------------------
     docs = dq.documents(spark, sf_dir)
     emb = dq.embeddings(spark, sf_dir)

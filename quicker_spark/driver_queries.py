@@ -657,6 +657,46 @@ def q_facet_lang(spark, sf_dir):
         "lang", F.col("n").cast("long").alias("n"))
 
 
+# whole-term regexp: literal prefix 's' anchors the dictionary slice,
+# the char class picks a different expansion set than prefix_top10's
+REGEXP_PAT = "s[ctl][a-z]+"
+
+
+def q_regexp_top10(spark, sf_dir):
+    """Whole-term regexp query (`content:/s[ctl][a-z]+/`, Lucene
+    RegexpQuery rewrite): the vocabulary terms whose whole word matches
+    the pattern, served as a scored OR through WAND. The literal prefix
+    of the pattern anchors the term-dictionary scan to a pushed-down
+    string range (engine.expand_regexp). The oracle scores every
+    vocabulary term matching the same anchored pattern, so the engine's
+    expansion must be exactly the matching vocabulary."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_regexp("content", REGEXP_PAT, k=10,
+                             max_expansions=4096)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_sorted_top(spark, sf_dir):
+    """Sort-by-field serving (Lucene SortField / ES `sort`): the FULL
+    boolean match set of an OR query ordered by a forward-index column
+    (doc_len desc, doc_id-asc tiebreak) instead of relevance. Compiles
+    to TakeOrderedAndProject over the prunable hydration join — per
+    partition k rows, never a global sort of the match set."""
+    eng = get_engine(spark, sf_dir)
+    q = Or(*[NewTermQuery("content", t) for t in AND_TERMS])
+    return eng.search_sorted(q, by="doc_len", ascending=False, k=12)
+
+
+def q_facet_stats(spark, sf_dir):
+    """Numeric stats facet (ES stats-aggregation): per-lang count / min
+    / max / sum of doc_len over the FULL match set of an AND query. One
+    distributed aggregation over the column-pruned hydration join —
+    nothing collected, the same plan at ten matches or a billion."""
+    eng = get_engine(spark, sf_dir)
+    q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
+    return eng.facet_stats(q, on_col="doc_len", by=("lang",))
+
+
 BATCH_QUERIES = {
     "or3": BM25_TERMS,          # flat OR (wand-shaped)
     "and2": AND_TERMS,          # flat AND (conj-shaped)
@@ -967,7 +1007,10 @@ QUERIES = {
     "phrase_top10": q_phrase_top10,
     "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
+    "regexp_top10": q_regexp_top10,
     "facet_lang": q_facet_lang,
+    "facet_stats": q_facet_stats,
+    "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
     "searcher_top10": q_searcher_top10,
@@ -1146,6 +1189,30 @@ ORDER BY score DESC, doc_id LIMIT 10
             f"([^a-z0-9_]+[a-z0-9_]+){{0,{NEAR_GAP}}}[^a-z0-9_]+"
             f"{PHRASE_TERMS[1]}([^a-z0-9_]|$)')")),
     "prefix_top10": sql_bm25_topk(terms_like=f"{PREFIX}%"),
+    "regexp_top10": sql_bm25_topk(term_where=(
+        f"regexp_matches(term, '^(?:{REGEXP_PAT})$')")),
+    "sorted_top": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "cand AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('"
+        + "','".join(AND_TERMS) + "')), "
+        "dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+'))::bigint AS doc_len FROM documents) "
+        "SELECT d.doc_id, d.doc_len FROM dl d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM cand) "
+        "ORDER BY d.doc_len DESC, d.doc_id LIMIT 12"
+    ),
+    "facet_stats": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "cand AS (SELECT doc_id FROM toks WHERE term IN ('"
+        + "','".join(AND_TERMS) + "') GROUP BY doc_id "
+        f"HAVING count(DISTINCT term) = {len(AND_TERMS)}), "
+        "dl AS (SELECT doc_id, lang, len(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+'))::bigint AS dl FROM documents) "
+        "SELECT lang, count(*)::bigint AS n, min(dl)::bigint AS min_v, "
+        "max(dl)::bigint AS max_v, sum(dl)::bigint AS sum_v FROM dl "
+        "WHERE doc_id IN (SELECT doc_id FROM cand) "
+        "GROUP BY lang ORDER BY n DESC, lang"
+    ),
     "facet_lang": (
         f"WITH toks AS ({SQL_TOKS}), "
         "cand AS (SELECT doc_id FROM toks WHERE term IN ('"

@@ -710,6 +710,88 @@ class SearchEngine:
         return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
                            hydrate=hydrate)
 
+    _REGEX_META = set(".^$*+?{}[]|()\\")
+
+    def expand_regexp(self, field: str, pattern: str,
+                      max_expansions: int = 64) -> list[str]:
+        """Regexp/wildcard expansion (Lucene RegexpQuery rewrite):
+        vocabulary terms whose WHOLE word matches ``pattern``. Like
+        Lucene's automaton common-prefix extraction, any literal prefix
+        of the pattern anchors the dictionary scan to a pushed-down
+        string range first, so `tab.*le` reads the `tab` slice of the
+        term-sorted parquet, never the full vocabulary (an unanchored
+        pattern is allowed but costs a full dictionary slice — the
+        vocabulary table is still tiny next to the postings tree).
+        Deterministic selection: df desc, term asc, top N."""
+        lit = []
+        for ch in pattern:
+            if ch in self._REGEX_META:
+                break
+            lit.append(ch)
+        pref = f"{field}\x01" + "".join(lit)
+        wordpart = F.expr(f"substring(term, {len(field) + 2})")
+        rows = (self.term_stats
+                .filter(F.col("term").startswith(pref))
+                .filter(wordpart.rlike(f"^(?:{pattern})$"))
+                .orderBy(F.desc("df_global"), F.asc("term"))
+                .limit(int(max_expansions)).collect())
+        return [r["term"] for r in rows]
+
+    def search_regexp(self, field: str, pattern: str, k: int = 10,
+                      on: int = 0, off: int = 0, or_flags: tuple = (),
+                      max_expansions: int = 64,
+                      hydrate: bool = False) -> DataFrame:
+        """BM25 top-k for a whole-term regexp query (`field:/pattern/`):
+        dictionary expansion served as a scored OR through WAND, each
+        expansion with its own idf (same contract as prefix/fuzzy). No
+        reference analog (whole-keyword matching only)."""
+        terms = self.expand_regexp(field, pattern, max_expansions)
+        if not terms:
+            return self._empty_hits(hydrate)
+        q = Or(*[TermQuery(keyword=t) for t in terms])
+        return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
+                           hydrate=hydrate)
+
+    def search_sorted(self, q: TermQuery, by: str = "doc_len",
+                      ascending: bool = False, k: int = 10,
+                      on: int = 0, off: int = 0,
+                      or_flags: tuple = ()) -> DataFrame:
+        """Boolean matches ordered by a FORWARD-INDEX column instead of
+        relevance (Lucene SortField / doc-values sort): full match set
+        from the boolean kernels, hydrated via the prunable
+        (segment_id, doc_id) join, then global top-k by (column,
+        doc_id-asc tiebreak). The sort+limit compiles to Spark's
+        TakeOrderedAndProject — each partition keeps k rows and the
+        driver merges n_partitions * k, never a full sort of the match
+        set (the shape that survives a billion-match query). Returns
+        (doc_id, <by>)."""
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(matches.select("doc_id"), cols=(by,))
+        order = F.asc(by) if ascending else F.desc(by)
+        return (joined.select("doc_id", by)
+                .orderBy(order, F.asc("doc_id")).limit(k))
+
+    def facet_stats(self, q: TermQuery, on_col: str = "doc_len",
+                    by=("lang",), on: int = 0, off: int = 0,
+                    or_flags: tuple = ()) -> DataFrame:
+        """Numeric stats facet over the FULL boolean match set (the
+        Elasticsearch stats-aggregation shape): per facet bucket,
+        count / min / max / sum of a forward-index column. One
+        distributed aggregation over the prunable hydration join —
+        nothing collected, same plan at ten matches or a billion.
+        Averages are derivable as sum/count by the caller (sum is
+        exactly representable for integer columns; an engine-computed
+        float avg would hash-diverge from SQL oracles)."""
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(matches.select("doc_id"),
+                                   cols=(on_col,) + tuple(by))
+        return (joined.groupBy(*by)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min(on_col).alias("min_v"),
+                     F.max(on_col).alias("max_v"),
+                     F.sum(on_col).alias("sum_v"))
+                .orderBy(F.desc("n"), *[F.asc(c) for c in by]))
+
     def search_fields(self, words, field_boosts: dict[str, float],
                       k: int = 10, on: int = 0, off: int = 0,
                       or_flags: tuple = (), mode: str = "auto",
@@ -800,7 +882,8 @@ class SearchEngine:
         payload = self.lookup(ids).select(*self._PAYLOAD_COLS)
         return F.broadcast(hits_local).join(payload, "doc_id", "inner")
 
-    def hydrate_join(self, hits: DataFrame) -> DataFrame:
+    def hydrate_join(self, hits: DataFrame,
+                     cols: tuple | None = None) -> DataFrame:
         """Lazy hydration for UNBOUNDED hit sets (all boolean matches —
         the reference hydrates every match, indexer.go:126-157): a
         distributed join against the forward index, nothing collected.
@@ -809,12 +892,19 @@ class SearchEngine:
         the docs scan is prunable: when the hits side broadcasts, AQE's
         dynamic partition pruning drops every docs directory with no
         hit; a shuffle join on the composite key is no worse than the
-        doc_id-only join. Hits stay executor-side either way."""
+        doc_id-only join. Hits stay executor-side either way.
+
+        ``cols`` narrows the forward-index projection (default: the
+        standard payload columns) — sort/facet paths pass only the
+        column they rank or aggregate on so the parquet scan's
+        ReadSchema stays minimal."""
         seg_docs = int(self.stats["seg_docs"])
         keyed = hits.withColumn(
             "segment_id",
             (F.col("doc_id") / F.lit(seg_docs)).cast("long"))
-        payload = self.docs.select("segment_id", *self._PAYLOAD_COLS)
+        want = self._PAYLOAD_COLS if cols is None else \
+            ("doc_id",) + tuple(c for c in cols if c != "doc_id")
+        payload = self.docs.select("segment_id", *want)
         return (keyed.join(payload, ["segment_id", "doc_id"], "inner")
                 .drop("segment_id"))
 

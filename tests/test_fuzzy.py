@@ -95,3 +95,69 @@ def test_zero_edits_is_exact(engine):
 
 def test_no_match_is_empty(engine):
     assert engine.search_fuzzy("content", "zzzzzzz", k=10).count() == 0
+
+
+# -- regexp / wildcard queries ------------------------------------------------
+
+
+def test_regexp_expansion_matches_brute_force(engine, oracle):
+    import re
+
+    pat = "tok1[0-9]"
+    got = set(engine.expand_regexp("content", pat, max_expansions=10_000))
+    exp = {f"content\x01{t}" for t in _vocab(oracle)
+           if re.fullmatch(pat, t)}
+    assert got == exp and len(exp) >= 2
+
+
+def test_regexp_whole_term_semantics(engine, oracle):
+    # 'de.' must match 'def' but NOT e.g. 'def'-prefixed longer tokens
+    import re
+
+    got = {t.split("\x01", 1)[1]
+           for t in engine.expand_regexp("content", "de.",
+                                         max_expansions=10_000)}
+    exp = {t for t in _vocab(oracle) if re.fullmatch("de.", t)}
+    assert got == exp
+
+
+def test_regexp_search_matches_expanded_or(engine, oracle):
+    terms = engine.expand_regexp("content", "tok1[0-9]",
+                                 max_expansions=10_000)
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           engine.search_regexp("content", "tok1[0-9]", k=10,
+                                max_expansions=10_000).collect()]
+    q = Or(*[NewTermQuery("content", t.split("\x01", 1)[1])
+             for t in terms])
+    exp = [(h.doc_id, h.score) for h in oracle.search_topk(q, k=10)]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
+
+
+# -- sort-by-field and stats facets -------------------------------------------
+
+
+def test_search_sorted_matches_brute_force(engine, oracle):
+    q = Or(NewTermQuery("content", "def"), NewTermQuery("content", "tok50"))
+    for asc in (False, True):
+        got = [(int(r["doc_id"]), int(r["doc_len"])) for r in
+               engine.search_sorted(q, by="doc_len", ascending=asc,
+                                    k=12).collect()]
+        cands = oracle.eval_bool(q)
+        exp = sorted(((d, oracle.doc_len[d]) for d in cands),
+                     key=lambda x: (x[1] if asc else -x[1], x[0]))[:12]
+        assert got == exp, asc
+
+
+def test_facet_stats_matches_brute_force(engine, oracle):
+    q = NewTermQuery("content", "def")
+    got = {r["lang"]: (int(r["n"]), int(r["min_v"]), int(r["max_v"]),
+                       int(r["sum_v"]))
+           for r in engine.facet_stats(q, on_col="doc_len").collect()}
+    exp: dict = {}
+    for d in oracle.eval_bool(q):
+        lang = oracle.docs[d]["lang"]
+        dl = oracle.doc_len[d]
+        n, mn, mx, sm = exp.get(lang, (0, 10**9, -1, 0))
+        exp[lang] = (n + 1, min(mn, dl), max(mx, dl), sm + dl)
+    assert got == exp
