@@ -676,6 +676,22 @@ def q_regexp_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+# Lucene wildcard: ? = one char, * = any run; expands to a third
+# distinct dictionary slice ({scan, small, spark} at every sf)
+WILDCARD_PAT = "s?a*"
+
+
+def q_wildcard_top10(spark, sf_dir):
+    """Wildcard query (`content:s?a*`): Lucene `*`/`?` translated to an
+    anchored regexp (SearchEngine.wildcard_to_regexp), then the same
+    scored-OR dictionary-expansion contract as regexp/prefix/fuzzy. The
+    oracle applies the identical translated pattern to the vocabulary."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_wildcard("content", WILDCARD_PAT, k=10,
+                               max_expansions=4096)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_sorted_top(spark, sf_dir):
     """Sort-by-field serving (Lucene SortField / ES `sort`): the FULL
     boolean match set of an OR query ordered by a forward-index column
@@ -1008,6 +1024,7 @@ QUERIES = {
     "near_top10": q_near_top10,
     "prefix_top10": q_prefix_top10,
     "regexp_top10": q_regexp_top10,
+    "wildcard_top10": q_wildcard_top10,
     "facet_lang": q_facet_lang,
     "facet_stats": q_facet_stats,
     "sorted_top": q_sorted_top,
@@ -1191,6 +1208,9 @@ ORDER BY score DESC, doc_id LIMIT 10
     "prefix_top10": sql_bm25_topk(terms_like=f"{PREFIX}%"),
     "regexp_top10": sql_bm25_topk(term_where=(
         f"regexp_matches(term, '^(?:{REGEXP_PAT})$')")),
+    "wildcard_top10": sql_bm25_topk(term_where=(
+        "regexp_matches(term, '^(?:"
+        + SearchEngine.wildcard_to_regexp(WILDCARD_PAT) + ")$')")),
     "sorted_top": (
         f"WITH toks AS ({SQL_TOKS}), "
         "cand AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('"

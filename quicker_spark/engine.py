@@ -752,6 +752,39 @@ class SearchEngine:
         return self.search(q, k=k, on=on, off=off, or_flags=or_flags,
                            hydrate=hydrate)
 
+    @staticmethod
+    def wildcard_to_regexp(pattern: str) -> str:
+        """Lucene WildcardQuery syntax -> anchored regexp source:
+        ``*`` = any run (incl. empty), ``?`` = exactly one char; every
+        other char is matched literally (tokenizer terms are
+        [a-z0-9_]+, but escaping keeps arbitrary input safe). The
+        translation preserves the literal prefix, so ``tab*`` still
+        anchors the dictionary scan to the ``tab`` string range."""
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append("[a-z0-9_]*")
+            elif ch == "?":
+                out.append("[a-z0-9_]")
+            elif ch in SearchEngine._REGEX_META:
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def search_wildcard(self, field: str, pattern: str, k: int = 10,
+                        on: int = 0, off: int = 0, or_flags: tuple = (),
+                        max_expansions: int = 64,
+                        hydrate: bool = False) -> DataFrame:
+        """BM25 top-k for a wildcard query (``field:ta?le*``): sugar
+        over :meth:`search_regexp` via the Lucene ``*``/``?``
+        translation — same scored-OR dictionary-expansion contract,
+        each expansion with its own idf."""
+        return self.search_regexp(
+            field, self.wildcard_to_regexp(pattern), k=k, on=on,
+            off=off, or_flags=or_flags, max_expansions=max_expansions,
+            hydrate=hydrate)
+
     def search_sorted(self, q: TermQuery, by: str = "doc_len",
                       ascending: bool = False, k: int = 10,
                       on: int = 0, off: int = 0,

@@ -134,6 +134,41 @@ def test_regexp_search_matches_expanded_or(engine, oracle):
     assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
 
 
+# -- wildcard queries ----------------------------------------------------------
+
+
+def test_wildcard_translation():
+    w2r = SearchEngine.wildcard_to_regexp
+    assert w2r("tab*") == "tab[a-z0-9_]*"
+    assert w2r("t?k") == "t[a-z0-9_]k"
+    assert w2r("a.b") == "a\\.b"
+
+
+def test_wildcard_expansion_matches_fnmatch(engine, oracle):
+    import fnmatch
+
+    got = {t.split("\x01", 1)[1]
+           for t in engine.expand_regexp(
+               "content", SearchEngine.wildcard_to_regexp("tok1*"),
+               max_expansions=10_000)}
+    exp = {t for t in _vocab(oracle) if fnmatch.fnmatchcase(t, "tok1*")}
+    assert got == exp and len(exp) >= 2
+
+
+def test_wildcard_search_matches_expanded_or(engine, oracle):
+    terms = engine.expand_regexp(
+        "content", SearchEngine.wildcard_to_regexp("tok?5"),
+        max_expansions=10_000)
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           engine.search_wildcard("content", "tok?5", k=10,
+                                  max_expansions=10_000).collect()]
+    q = Or(*[NewTermQuery("content", t.split("\x01", 1)[1])
+             for t in terms])
+    exp = [(h.doc_id, h.score) for h in oracle.search_topk(q, k=10)]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
+
+
 # -- sort-by-field and stats facets -------------------------------------------
 
 
