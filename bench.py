@@ -166,6 +166,10 @@ def main() -> None:
         lambda: eng.search_regexp("content", "s[ctl][a-z]+", k=10).collect())
     timings["wildcard_top10"] = median_time(
         lambda: eng.search_wildcard("content", "s?a*", k=10).collect())
+    timings["bool_not"] = median_time(
+        lambda: eng.search_bool_not(
+            NewTermQuery("content", "table"),
+            NewTermQuery("content", "merge")).count())
     timings["sorted_top12"] = median_time(
         lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
     timings["facet_stats"] = median_time(

@@ -805,6 +805,17 @@ def q_bool_and(spark, sf_dir):
     return eng.search_bool(q)
 
 
+def q_bool_not(spark, sf_dir):
+    """Boolean must_not (beyond the reference's And/Or IR, the ES
+    bool-query shape): docs containing 'table' but NOT 'merge'. Both
+    trees evaluate in one per-segment kernel over one shared pruned
+    postings scan; exclusion is a row-local setdiff — no anti-join
+    shuffle."""
+    eng = get_engine(spark, sf_dir)
+    return eng.search_bool_not(NewTermQuery("content", "table"),
+                               NewTermQuery("content", "merge"))
+
+
 def q_bool_flags_on(spark, sf_dir):
     """Q1/Q2: leaf lookup + onFlag bit predicate (lang='de' class bit)."""
     eng = get_engine(spark, sf_dir)
@@ -1039,6 +1050,7 @@ QUERIES = {
     "has_doc": q_has_doc,
     "doc_id_rank": q_doc_id_rank,
     "bool_and": q_bool_and,
+    "bool_not": q_bool_not,
     "bool_flags_on": q_bool_flags_on,
     "bool_flags_or": q_bool_flags_or,
     "count_docs": q_count_docs,
@@ -1288,6 +1300,11 @@ ORDER BY score DESC, doc_id LIMIT 10
         f"WITH toks AS ({SQL_TOKS}) "
         "SELECT doc_id FROM toks WHERE term = 'table' "
         "INTERSECT SELECT doc_id FROM toks WHERE term = 'merge'"
+    ),
+    "bool_not": (
+        f"WITH toks AS ({SQL_TOKS}) "
+        "SELECT doc_id FROM toks WHERE term = 'table' "
+        "EXCEPT SELECT doc_id FROM toks WHERE term = 'merge'"
     ),
     "bool_flags_on": (
         f"WITH toks AS ({SQL_TOKS}), "

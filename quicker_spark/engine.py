@@ -273,6 +273,30 @@ def _make_bool_kernel(query_json: str, on: int, off: int, or_flags: tuple,
     return kernel
 
 
+def _make_bool_not_kernel(pos_json: str, neg_json: str, on: int, off: int,
+                          or_flags: tuple, block_size: int):
+    """must_not kernel: both trees evaluate over the SAME decoded leaf
+    arrays within one per-segment call; the exclusion is a row-local
+    sorted setdiff. The complement is never materialized — a bare NOT
+    would be corpus-sized; exclusion only ever subtracts from the
+    positive tree's match set (the Lucene/ES bool-query contract)."""
+    pos = json.loads(pos_json)
+    neg = json.loads(neg_json)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        leaf_ids: dict[str, np.ndarray] = {}
+        for _, r in pdf.iterrows():
+            ids, _tfs, _dls, bits = _row_to_encoded(r, block_size).decode_all()
+            m = filter_by_bits_vec(bits, on, off, or_flags)
+            leaf_ids[r["term"]] = ids[m]
+        out = np.setdiff1d(eval_bool_tree(pos, leaf_ids),
+                           eval_bool_tree(neg, leaf_ids),
+                           assume_unique=True)
+        return pd.DataFrame({"doc_id": out})
+
+    return kernel
+
+
 # hydrate() is a point lookup; anything bigger than this is a misuse of
 # the collect-based path and must go through hydrate_join instead
 _HYDRATE_MAX = 10_000
@@ -881,6 +905,36 @@ class SearchEngine:
                                  self.stats["block_size"])
         out = (
             self._postings_for(terms)
+            .groupBy("segment_id")
+            .applyInPandas(kern, "doc_id long")
+            .orderBy("doc_id")
+        )
+        return self.hydrate_join(out) if hydrate else out
+
+    def search_bool_not(self, q: TermQuery, exclude: TermQuery,
+                        on: int = 0, off: int = 0, or_flags: tuple = (),
+                        hydrate: bool = False) -> DataFrame:
+        """Boolean must_not (ES bool-query shape, beyond the reference's
+        And/Or IR): all matches of ``q`` MINUS all matches of
+        ``exclude``, ascending doc_id. Both trees evaluate inside ONE
+        per-segment kernel over one shared term-pruned postings scan —
+        the exclusion is a row-local setdiff, so there is no second
+        job and no anti-join shuffle; the scan reads exactly the union
+        of both trees' terms. Bit filters apply to both sides (the
+        flag context frames the whole request). A bare NOT is
+        deliberately unsupported: its match set is corpus-sized."""
+        terms = set(q.terms())
+        neg_terms = set(exclude.terms())
+        if not terms:
+            return self._empty_bool(hydrate)
+        if not neg_terms:
+            return self.search_bool(q, on=on, off=off, or_flags=or_flags,
+                                    hydrate=hydrate)
+        kern = _make_bool_not_kernel(q.to_json(), exclude.to_json(), on,
+                                     off, tuple(or_flags),
+                                     self.stats["block_size"])
+        out = (
+            self._postings_for(terms | neg_terms)
             .groupBy("segment_id")
             .applyInPandas(kern, "doc_id long")
             .orderBy("doc_id")

@@ -169,6 +169,24 @@ def test_wildcard_search_matches_expanded_or(engine, oracle):
     assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
 
 
+# -- boolean must_not ----------------------------------------------------------
+
+
+def test_bool_not_matches_brute_force(engine, oracle):
+    pos = Or(NewTermQuery("content", "def"), NewTermQuery("content", "tok50"))
+    neg = NewTermQuery("content", "tok7")
+    got = [int(r["doc_id"])
+           for r in engine.search_bool_not(pos, neg).collect()]
+    exp = sorted(set(oracle.eval_bool(pos)) - set(oracle.eval_bool(neg)))
+    assert got == exp
+    assert 0 < len(exp) < len(oracle.eval_bool(pos))  # exclusion did work
+
+
+def test_bool_not_self_exclusion_is_empty(engine):
+    q = NewTermQuery("content", "def")
+    assert engine.search_bool_not(q, q).count() == 0
+
+
 # -- sort-by-field and stats facets -------------------------------------------
 
 
