@@ -170,6 +170,10 @@ def main() -> None:
         lambda: eng.search_bool_not(
             NewTermQuery("content", "table"),
             NewTermQuery("content", "merge")).count())
+    timings["bm25_not_top10"] = median_time(
+        lambda: eng.search(or_q, k=10,
+                           exclude=NewTermQuery("content", "spark"))
+        .collect())
     timings["sorted_top12"] = median_time(
         lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
     timings["facet_stats"] = median_time(

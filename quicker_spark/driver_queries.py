@@ -225,7 +225,8 @@ def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
                   cand_base_where: str | None = None,
                   terms_like: str | None = None,
                   term_where: str | None = None,
-                  weights: dict[str, float] | None = None) -> str:
+                  weights: dict[str, float] | None = None,
+                  exclude_terms: tuple = ()) -> str:
     """Exact BM25 top-k oracle over an arbitrary base corpus relation
     (``base`` must yield (doc_id, text)). ``require_all`` restricts
     candidates to docs containing EVERY term (the AND query contract);
@@ -262,6 +263,14 @@ def sql_bm25_topk(terms=BM25_TERMS, k=10, base=SQL_DOCS_BASE,
             f"HAVING {cand_having})" if cand_having else "")
         cand_where = ("WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
                       if cand_having else "")
+    if exclude_terms:
+        # must_not: drop excluded docs from the candidate set; scoring
+        # CTEs stay restricted to the positive terms (ES bool semantics)
+        neg_in = "','".join(exclude_terms)
+        excl = (" AND tf.doc_id NOT IN (SELECT doc_id FROM toks "
+                f"WHERE term IN ('{neg_in}'))")
+        cand_where = (cand_where.rstrip() if cand_where
+                      else "WHERE true") + excl + " "
     project = project or ("SELECT doc_id, round(score * 10000.0)::bigint "
                           "AS score_x4 FROM scores "
                           f"ORDER BY score DESC, doc_id LIMIT {k}")
@@ -805,6 +814,22 @@ def q_bool_and(spark, sf_dir):
     return eng.search_bool(q)
 
 
+NOT_TERM = "merge"
+
+
+def q_bm25_not_top10(spark, sf_dir):
+    """Scored must_not (ES bool query: should + must_not): BM25 top-10
+    of the flat-OR query with docs containing NOT_TERM excluded
+    IN-KERNEL, before each segment's top-k — post-hoc exclusion after a
+    pruned top-k would be lossy (an excluded doc can raise the pruning
+    threshold past a legitimate hit). Survivors' scores are
+    bitwise-identical to the same query without the exclusion."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search(_bm25_query(), k=10,
+                      exclude=NewTermQuery("content", NOT_TERM))
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_bool_not(spark, sf_dir):
     """Boolean must_not (beyond the reference's And/Or IR, the ES
     bool-query shape): docs containing 'table' but NOT 'merge'. Both
@@ -1051,6 +1076,7 @@ QUERIES = {
     "doc_id_rank": q_doc_id_rank,
     "bool_and": q_bool_and,
     "bool_not": q_bool_not,
+    "bm25_not_top10": q_bm25_not_top10,
     "bool_flags_on": q_bool_flags_on,
     "bool_flags_or": q_bool_flags_or,
     "count_docs": q_count_docs,
@@ -1301,6 +1327,7 @@ ORDER BY score DESC, doc_id LIMIT 10
         "SELECT doc_id FROM toks WHERE term = 'table' "
         "INTERSECT SELECT doc_id FROM toks WHERE term = 'merge'"
     ),
+    "bm25_not_top10": sql_bm25_topk(exclude_terms=(NOT_TERM,)),
     "bool_not": (
         f"WITH toks AS ({SQL_TOKS}) "
         "SELECT doc_id FROM toks WHERE term = 'table' "

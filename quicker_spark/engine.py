@@ -78,7 +78,9 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                         enc_cache: dict | None = None,
                         dec_cache: dict | None = None,
                         boosts: dict | None = None,
-                        after: tuple | None = None):
+                        after: tuple | None = None,
+                        exclude: dict | None = None,
+                        exclude_only: frozenset = frozenset()):
     """Score ONE query against one segment's posting rows (``pdf``: one
     row per query term present in the segment) -> (doc_ids, scores).
 
@@ -159,26 +161,30 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
             decoded[r["term"]] = d
     return score_segment_exhaustive(
         query, decoded, idf, avgdl, k, on, off, or_flags, k1, b,
-        after=after)
+        after=after, exclude=exclude, exclude_only=exclude_only)
 
 
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       k: int, on: int, off: int, or_flags: tuple,
                       k1: float, b: float, block_size: int, strategy: str,
                       n_query_terms: int, boosts: tuple = (),
-                      after: tuple | None = None):
+                      after: tuple | None = None,
+                      exclude_json: str | None = None,
+                      exclude_only: tuple = ()):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
     is executor-side data, never driver state)."""
     query = json.loads(query_json)
     boost_map = dict(boosts) if boosts else None
+    exclude = json.loads(exclude_json) if exclude_json else None
+    excl_only = frozenset(exclude_only)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, scores = _score_segment_rows(
             pdf, query, strategy, n_query_terms, n_docs, avgdl,
             k, on, off, or_flags, k1, b, block_size, boosts=boost_map,
-            after=after)
+            after=after, exclude=exclude, exclude_only=excl_only)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -355,6 +361,7 @@ class SearchEngine:
                or_flags: tuple = (), mode: str = "auto",
                boosts: dict[str, float] | None = None,
                after: tuple[float, int] | None = None,
+               exclude: TermQuery | None = None,
                hydrate: bool = False) -> DataFrame:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
@@ -381,10 +388,30 @@ class SearchEngine:
         thousand-segment scale. Cursor scores must come from a prior
         result of this engine (the kernels recompute scores
         bitwise-identically, so the tie comparison is exact).
+
+        ``exclude``: optional must_not tree (ES bool-query semantics) —
+        its matches are removed from the candidate set IN-KERNEL,
+        before each segment's top-k, and its terms never contribute to
+        a score. Exclusion forces the exhaustive (TAAT) scorer: in a
+        pruned scorer an excluded doc entering the heap could raise the
+        pruning threshold above a legitimate hit's score, making
+        post-hoc exclusion lossy. Scores of surviving docs are
+        bitwise-identical to the same query without ``exclude``.
         """
         terms = q.terms()
         if not terms:
             return self._empty_hits(hydrate)
+        neg_terms: set[str] = set()
+        exclude_json = None
+        if exclude is not None:
+            neg_terms = set(exclude.terms()) - set(terms)
+            if exclude.terms():
+                exclude_json = exclude.to_json()
+                if mode not in ("auto", "taat"):
+                    raise ValueError(
+                        "exclude requires mode='auto' or 'taat' (pruned "
+                        "scorers cannot exclude losslessly)")
+                mode = "taat"
         if boosts:
             bad = {t: w for t, w in boosts.items() if not w > 0}
             if bad:
@@ -418,11 +445,13 @@ class SearchEngine:
             k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],
             self.stats["block_size"], strategy, len(terms),
             boosts=tuple(sorted((boosts or {}).items())), after=after,
+            exclude_json=exclude_json, exclude_only=tuple(sorted(neg_terms)),
         )
+        scan_terms = set(terms) | neg_terms
         ts = F.broadcast(
-            self.term_stats.filter(F.col("term").isin(list(terms))))
+            self.term_stats.filter(F.col("term").isin(list(scan_terms))))
         seg_hits = (
-            self._postings_for(terms)
+            self._postings_for(scan_terms)
             .join(ts, "term", "left")
             .fillna(0, subset=["df_global"])
             .groupBy("segment_id")

@@ -370,14 +370,19 @@ def score_segment_exhaustive(
     k1: float = K1,
     b: float = B,
     after: tuple[float, int] | None = None,
+    exclude: dict | None = None,
+    exclude_only: frozenset = frozenset(),
 ):
     """Boolean-filter + BM25-score one segment, vectorized TAAT.
 
     ``term_postings``: term -> decoded (ids, tfs, dls, bits), ids ascending.
     ``after``: optional (score, doc_id) paging cursor — the top-k is taken
     over docs strictly after it in (score desc, doc_id asc) rank order.
-    Returns (doc_ids, scores) of the segment-local top-k, ordered by
-    (score desc, doc_id asc).
+    ``exclude``: optional must_not tree (ES bool-query semantics): its
+    matches are removed from the candidate set BEFORE scoring/top-k, and
+    terms appearing only in it (``exclude_only``) never contribute to a
+    score. Returns (doc_ids, scores) of the segment-local top-k, ordered
+    by (score desc, doc_id asc).
     """
     filtered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     leaf_ids: dict[str, np.ndarray] = {}
@@ -385,9 +390,13 @@ def score_segment_exhaustive(
         m = filter_by_bits_vec(bits, on, off, or_flags)
         fids = ids[m]
         leaf_ids[t] = fids
-        filtered[t] = (fids, bm25_u(tfs[m], dls[m], avgdl, k1, b))
+        if t not in exclude_only:
+            filtered[t] = (fids, bm25_u(tfs[m], dls[m], avgdl, k1, b))
 
     cands = eval_bool_tree(query, leaf_ids)
+    if exclude is not None and cands.size:
+        cands = np.setdiff1d(cands, eval_bool_tree(exclude, leaf_ids),
+                             assume_unique=True)
     if cands.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 

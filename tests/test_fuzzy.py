@@ -187,6 +187,30 @@ def test_bool_not_self_exclusion_is_empty(engine):
     assert engine.search_bool_not(q, q).count() == 0
 
 
+def test_scored_must_not_matches_brute_force(engine, oracle):
+    pos = Or(NewTermQuery("content", "def"), NewTermQuery("content", "tok50"))
+    neg = NewTermQuery("content", "tok7")
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           engine.search(pos, k=10, exclude=neg).collect()]
+    banned = set(oracle.eval_bool(neg))
+    exp = [(h.doc_id, h.score) for h in oracle.search_topk(pos, k=10_000)
+           if h.doc_id not in banned][:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, exp))
+    # survivors' scores identical to the un-excluded query's scores
+    base = {h.doc_id: h.score for h in oracle.search_topk(pos, k=10_000)}
+    assert all(abs(s - base[d]) < 1e-12 for d, s in got)
+
+
+def test_scored_must_not_rejects_pruned_modes(engine):
+    import pytest as _pytest
+
+    pos = Or(NewTermQuery("content", "def"), NewTermQuery("content", "tok50"))
+    with _pytest.raises(ValueError, match="exclude requires"):
+        engine.search(pos, k=10, exclude=NewTermQuery("content", "tok7"),
+                      mode="wand")
+
+
 # -- sort-by-field and stats facets -------------------------------------------
 
 
