@@ -712,6 +712,15 @@ def q_sorted_top(spark, sf_dir):
     return eng.search_sorted(q, by="doc_len", ascending=False, k=12)
 
 
+def q_facet_histogram(spark, sf_dir):
+    """Histogram facet (ES histogram aggregation): doc_len bucketed at
+    width 10 over the FULL match set of a single-term query — one
+    distributed aggregation over the column-pruned hydration join."""
+    eng = get_engine(spark, sf_dir)
+    return eng.facet_histogram(NewTermQuery("content", "table"),
+                               on_col="doc_len", width=10)
+
+
 def q_facet_stats(spark, sf_dir):
     """Numeric stats facet (ES stats-aggregation): per-lang count / min
     / max / sum of doc_len over the FULL match set of an AND query. One
@@ -1063,6 +1072,7 @@ QUERIES = {
     "wildcard_top10": q_wildcard_top10,
     "facet_lang": q_facet_lang,
     "facet_stats": q_facet_stats,
+    "facet_histogram": q_facet_histogram,
     "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
@@ -1258,6 +1268,15 @@ ORDER BY score DESC, doc_id LIMIT 10
         "SELECT d.doc_id, d.doc_len FROM dl d "
         "WHERE d.doc_id IN (SELECT doc_id FROM cand) "
         "ORDER BY d.doc_len DESC, d.doc_id LIMIT 12"
+    ),
+    "facet_histogram": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "cand AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table'), "
+        "dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+'))::bigint AS dl FROM documents) "
+        "SELECT (dl // 10 * 10)::bigint AS bucket, count(*)::bigint AS n "
+        "FROM dl WHERE doc_id IN (SELECT doc_id FROM cand) "
+        "GROUP BY bucket ORDER BY bucket"
     ),
     "facet_stats": (
         f"WITH toks AS ({SQL_TOKS}), "

@@ -195,27 +195,29 @@ def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
     """Per-segment kernel scoring MANY queries in one pass over the
     segment's (deduplicated) posting rows. ``specs`` is a list of
     (qid, query_json, strategy, terms_tuple, n_query_terms, on, off,
-    or_flags) — the bit-flag filter is per query, so a batch can
-    multiplex heterogeneous requests exactly like the reference's
-    concurrent RPCs. Each query runs the exact single-query code path
-    (:func:`_score_segment_rows`), so batch results are rank- and
-    score-identical to one-at-a-time searches. Posting runs shared by
-    several queries decode once per segment via the caches (safe across
-    differing flags: bit filtering happens inside the scorers, after
-    decode)."""
-    parsed = [(qid, json.loads(qj), strat, set(terms), nqt, on, off, orf)
-              for qid, qj, strat, terms, nqt, on, off, orf in specs]
+    or_flags, boosts_tuple) — the bit-flag filter and per-term boosts
+    are per query, so a batch can multiplex heterogeneous requests
+    exactly like the reference's concurrent RPCs. Each query runs the
+    exact single-query code path (:func:`_score_segment_rows`), so
+    batch results are rank- and score-identical to one-at-a-time
+    searches. Posting runs shared by several queries decode once per
+    segment via the caches (safe across differing flags and boosts:
+    bit filtering and the boost-scaled idf weights apply inside the
+    scorers, after decode)."""
+    parsed = [(qid, json.loads(qj), strat, set(terms), nqt, on, off, orf,
+               dict(bst) if bst else None)
+              for qid, qj, strat, terms, nqt, on, off, orf, bst in specs]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         enc_cache: dict = {}
         dec_cache: dict = {}
         outs = []
-        for qid, query, strat, terms, nqt, on, off, or_flags in parsed:
+        for qid, query, strat, terms, nqt, on, off, or_flags, bst in parsed:
             sub = pdf[pdf["term"].isin(terms)]
             ids, scores = _score_segment_rows(
                 sub, query, strat, nqt, n_docs, avgdl,
                 k, on, off, or_flags, k1, b, block_size,
-                enc_cache=enc_cache, dec_cache=dec_cache)
+                enc_cache=enc_cache, dec_cache=dec_cache, boosts=bst)
             if len(ids):
                 outs.append(pd.DataFrame(
                     {"qid": qid, "doc_id": ids, "score": scores}))
@@ -463,7 +465,9 @@ class SearchEngine:
     def search_many(self, queries: dict[str, TermQuery], k: int = 10,
                     on: int = 0, off: int = 0, or_flags: tuple = (),
                     hydrate: bool = False,
-                    flags: dict[str, tuple] | None = None) -> DataFrame:
+                    flags: dict[str, tuple] | None = None,
+                    boosts: dict[str, dict[str, float]] | None = None
+                    ) -> DataFrame:
         """BM25 top-k for MANY queries in ONE Spark job — the cluster
         serving shape. A query batch shares a single term-pruned postings
         scan (the union of every query's terms), one broadcast of the
@@ -489,11 +493,15 @@ class SearchEngine:
         ``on``/``off``/``or_flags`` are the batch-wide bit-flag filter;
         ``flags`` overrides them per query id with an
         ``(on, off, or_flags)`` tuple, so one batch can multiplex
-        heterogeneous requests.
+        heterogeneous requests. ``boosts`` maps query id -> per-term
+        boost dict (same positive-weight Lucene contract as
+        :meth:`search`), so boosted and unboosted requests batch
+        together.
         """
         from pyspark.sql.window import Window
 
         flags = flags or {}
+        boosts = boosts or {}
         specs = []
         all_terms: set[str] = set()
         for qid, q in queries.items():
@@ -503,9 +511,14 @@ class SearchEngine:
             strategy = ("wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
             q_on, q_off, q_orf = flags.get(qid, (on, off, or_flags))
+            q_boosts = boosts.get(qid) or {}
+            bad = {t: w for t, w in q_boosts.items() if not w > 0}
+            if bad:
+                raise ValueError(f"boosts[{qid!r}] must be > 0: {bad}")
             specs.append((str(qid), q.to_json(), strategy,
                           tuple(sorted(terms)), len(terms),
-                          int(q_on), int(q_off), tuple(q_orf)))
+                          int(q_on), int(q_off), tuple(q_orf),
+                          tuple(sorted(q_boosts.items()))))
             all_terms |= terms
         if not specs:
             df = self.spark.createDataFrame(
@@ -877,6 +890,26 @@ class SearchEngine:
                      F.max(on_col).alias("max_v"),
                      F.sum(on_col).alias("sum_v"))
                 .orderBy(F.desc("n"), *[F.asc(c) for c in by]))
+
+    def facet_histogram(self, q: TermQuery, on_col: str = "doc_len",
+                        width: int = 10, on: int = 0, off: int = 0,
+                        or_flags: tuple = ()) -> DataFrame:
+        """Histogram facet over the FULL boolean match set (ES histogram
+        aggregation): bucket = floor(col / width) * width, one
+        distributed aggregation over the column-pruned hydration join.
+        Returns (bucket, n) ordered by bucket asc — bucket keys are
+        exact integers, so the result hashes stably against a SQL twin."""
+        if width <= 0:
+            raise ValueError(f"width must be > 0, got {width}")
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(matches.select("doc_id"),
+                                   cols=(on_col,))
+        bucket = (F.floor(F.col(on_col) / F.lit(int(width)))
+                  * F.lit(int(width))).cast("long").alias("bucket")
+        return (joined.select(bucket)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.asc("bucket")))
 
     def search_fields(self, words, field_boosts: dict[str, float],
                       k: int = 10, on: int = 0, off: int = 0,

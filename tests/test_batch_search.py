@@ -83,6 +83,34 @@ def test_batch_per_query_flags(eng):
     assert by_q["strict"] != by_q["plain"]
 
 
+def test_batch_per_query_boosts(eng):
+    """`boosts` multiplexes boosted and unboosted requests in one
+    batch: each query's rows equal its solo boosted search, bitwise."""
+    q = Or(NewTermQuery("content", "def"), NewTermQuery("content", "return"))
+    per_q = {"up": {"content\x01return": 5.0},
+             "down": {"content\x01return": 0.2},
+             "plain": None}
+    batch = eng.search_many({qid: q for qid in per_q}, k=5,
+                            boosts={k: v for k, v in per_q.items() if v})
+    rows = [(r["qid"], r["doc_id"], r["score"]) for r in batch.collect()]
+    want = []
+    for qid, bst in per_q.items():
+        want += [(qid, r["doc_id"], r["score"])
+                 for r in eng.search(q, k=5, boosts=bst).collect()]
+    assert sorted(rows) == sorted(want)
+    # the boosts genuinely change ranking between batchmates
+    by_q = {qid: [d for qq, d, _ in sorted(rows, key=lambda x: (x[0], -x[2], x[1]))
+                  if qq == qid] for qid in per_q}
+    assert by_q["up"] != by_q["down"]
+
+
+def test_batch_boosts_must_be_positive(eng):
+    q = Or(NewTermQuery("content", "def"))
+    with pytest.raises(ValueError, match="must be > 0"):
+        eng.search_many({"bad": q}, k=5,
+                        boosts={"bad": {"content\x01def": -1.0}})
+
+
 def test_batch_orders_by_qid_then_rank(eng):
     rows = eng.search_many(_queries(), k=5).collect()
     keys = [(r["qid"], -r["score"], r["doc_id"]) for r in rows]

@@ -226,6 +226,24 @@ def test_search_sorted_matches_brute_force(engine, oracle):
         assert got == exp, asc
 
 
+def test_facet_histogram_matches_brute_force(engine, oracle):
+    q = NewTermQuery("content", "def")
+    got = {int(r["bucket"]): int(r["n"]) for r in
+           engine.facet_histogram(q, on_col="doc_len", width=7).collect()}
+    exp: dict = {}
+    for d in oracle.eval_bool(q):
+        b = oracle.doc_len[d] // 7 * 7
+        exp[b] = exp.get(b, 0) + 1
+    assert got == exp and len(exp) >= 2
+
+
+def test_facet_histogram_rejects_bad_width(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width"):
+        engine.facet_histogram(NewTermQuery("content", "def"), width=0)
+
+
 def test_facet_stats_matches_brute_force(engine, oracle):
     q = NewTermQuery("content", "def")
     got = {r["lang"]: (int(r["n"]), int(r["min_v"]), int(r["max_v"]),
