@@ -195,29 +195,33 @@ def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
     """Per-segment kernel scoring MANY queries in one pass over the
     segment's (deduplicated) posting rows. ``specs`` is a list of
     (qid, query_json, strategy, terms_tuple, n_query_terms, on, off,
-    or_flags, boosts_tuple) — the bit-flag filter and per-term boosts
-    are per query, so a batch can multiplex heterogeneous requests
+    or_flags, boosts_tuple, after, exclude_json, exclude_only) — the
+    bit-flag filter, per-term boosts, paging cursor, and must_not tree
+    are all per query, so a batch can multiplex heterogeneous requests
     exactly like the reference's concurrent RPCs. Each query runs the
     exact single-query code path (:func:`_score_segment_rows`), so
     batch results are rank- and score-identical to one-at-a-time
     searches. Posting runs shared by several queries decode once per
-    segment via the caches (safe across differing flags and boosts:
-    bit filtering and the boost-scaled idf weights apply inside the
-    scorers, after decode)."""
+    segment via the caches (safe across differing flags/boosts/cursors:
+    all of those apply inside the scorers, after decode)."""
     parsed = [(qid, json.loads(qj), strat, set(terms), nqt, on, off, orf,
-               dict(bst) if bst else None)
-              for qid, qj, strat, terms, nqt, on, off, orf, bst in specs]
+               dict(bst) if bst else None, aft,
+               json.loads(xj) if xj else None, frozenset(xonly))
+              for qid, qj, strat, terms, nqt, on, off, orf, bst, aft,
+              xj, xonly in specs]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         enc_cache: dict = {}
         dec_cache: dict = {}
         outs = []
-        for qid, query, strat, terms, nqt, on, off, or_flags, bst in parsed:
+        for (qid, query, strat, terms, nqt, on, off, or_flags, bst,
+             aft, excl, xonly) in parsed:
             sub = pdf[pdf["term"].isin(terms)]
             ids, scores = _score_segment_rows(
                 sub, query, strat, nqt, n_docs, avgdl,
                 k, on, off, or_flags, k1, b, block_size,
-                enc_cache=enc_cache, dec_cache=dec_cache, boosts=bst)
+                enc_cache=enc_cache, dec_cache=dec_cache, boosts=bst,
+                after=aft, exclude=excl, exclude_only=xonly)
             if len(ids):
                 outs.append(pd.DataFrame(
                     {"qid": qid, "doc_id": ids, "score": scores}))
@@ -466,7 +470,9 @@ class SearchEngine:
                     on: int = 0, off: int = 0, or_flags: tuple = (),
                     hydrate: bool = False,
                     flags: dict[str, tuple] | None = None,
-                    boosts: dict[str, dict[str, float]] | None = None
+                    boosts: dict[str, dict[str, float]] | None = None,
+                    after: dict[str, tuple] | None = None,
+                    excludes: dict[str, TermQuery] | None = None
                     ) -> DataFrame:
         """BM25 top-k for MANY queries in ONE Spark job — the cluster
         serving shape. A query batch shares a single term-pruned postings
@@ -495,31 +501,44 @@ class SearchEngine:
         ``(on, off, or_flags)`` tuple, so one batch can multiplex
         heterogeneous requests. ``boosts`` maps query id -> per-term
         boost dict (same positive-weight Lucene contract as
-        :meth:`search`), so boosted and unboosted requests batch
-        together.
+        :meth:`search`), ``after`` maps query id -> (score, doc_id)
+        paging cursor, and ``excludes`` maps query id -> must_not tree
+        (forces that query onto the exhaustive scorer, same as solo
+        :meth:`search`) — so boosted, paged, filtered, and excluded
+        requests all multiplex in one batch.
         """
         from pyspark.sql.window import Window
 
         flags = flags or {}
         boosts = boosts or {}
+        after = after or {}
+        excludes = excludes or {}
         specs = []
         all_terms: set[str] = set()
         for qid, q in queries.items():
             terms = q.terms()
             if not terms:
                 continue
-            strategy = ("wand_auto" if _is_flat_or(q)
+            excl = excludes.get(qid)
+            neg_terms = (set(excl.terms()) - set(terms)) if excl else set()
+            excl_json = excl.to_json() if excl and excl.terms() else None
+            strategy = ("taat" if excl_json
+                        else "wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
             q_on, q_off, q_orf = flags.get(qid, (on, off, or_flags))
             q_boosts = boosts.get(qid) or {}
             bad = {t: w for t, w in q_boosts.items() if not w > 0}
             if bad:
                 raise ValueError(f"boosts[{qid!r}] must be > 0: {bad}")
+            q_after = after.get(qid)
+            if q_after is not None:
+                q_after = (float(q_after[0]), int(q_after[1]))
             specs.append((str(qid), q.to_json(), strategy,
-                          tuple(sorted(terms)), len(terms),
+                          tuple(sorted(set(terms) | neg_terms)), len(terms),
                           int(q_on), int(q_off), tuple(q_orf),
-                          tuple(sorted(q_boosts.items()))))
-            all_terms |= terms
+                          tuple(sorted(q_boosts.items())),
+                          q_after, excl_json, tuple(sorted(neg_terms))))
+            all_terms |= set(terms) | neg_terms
         if not specs:
             df = self.spark.createDataFrame(
                 [], "qid string, doc_id long, score double")

@@ -111,6 +111,41 @@ def test_batch_boosts_must_be_positive(eng):
                         boosts={"bad": {"content\x01def": -1.0}})
 
 
+def test_batch_per_query_after_cursor(eng):
+    """`after` multiplexes page-2 requests with fresh queries: the paged
+    batchmate's rows equal its solo search_after page, bitwise."""
+    q = Or(NewTermQuery("content", "def"), NewTermQuery("content", "return"))
+    page1 = eng.search(q, k=5).collect()
+    cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    batch = eng.search_many({"p1": q, "p2": q}, k=5,
+                            after={"p2": cursor})
+    rows = [(r["qid"], r["doc_id"], r["score"]) for r in batch.collect()]
+    want = [("p1", r["doc_id"], r["score"]) for r in page1]
+    want += [("p2", r["doc_id"], r["score"])
+             for r in eng.search(q, k=5, after=cursor).collect()]
+    assert sorted(rows) == sorted(want)
+    p1 = {d for qq, d, _ in rows if qq == "p1"}
+    p2 = {d for qq, d, _ in rows if qq == "p2"}
+    assert not (p1 & p2)  # pages are disjoint
+
+
+def test_batch_per_query_exclude(eng):
+    """`excludes` multiplexes must_not requests: the excluded
+    batchmate's rows equal its solo search(exclude=...), bitwise."""
+    q = Or(NewTermQuery("content", "def"), NewTermQuery("content", "return"))
+    neg = NewTermQuery("content", "import")
+    batch = eng.search_many({"plain": q, "not": q}, k=5,
+                            excludes={"not": neg})
+    rows = [(r["qid"], r["doc_id"], r["score"]) for r in batch.collect()]
+    want = [("plain", r["doc_id"], r["score"])
+            for r in eng.search(q, k=5).collect()]
+    want += [("not", r["doc_id"], r["score"])
+             for r in eng.search(q, k=5, exclude=neg).collect()]
+    assert sorted(rows) == sorted(want)
+    assert ({d for qq, d, _ in rows if qq == "plain"}
+            != {d for qq, d, _ in rows if qq == "not"})
+
+
 def test_batch_orders_by_qid_then_rank(eng):
     rows = eng.search_many(_queries(), k=5).collect()
     keys = [(r["qid"], -r["score"], r["doc_id"]) for r in rows]
