@@ -110,6 +110,42 @@ def main() -> None:
         best_batch = secs if best_batch is None else min(best_batch, secs)
     assert n <= args.batch * 10
 
+    # -- round-4 serving surface at scale -----------------------------------
+    # scored must_not, facets, sort-by-field, and a heterogeneous batch
+    # (plain + paged + excluded + boosted members in ONE job)
+    or_q = make("or", ("def", "return"))
+    extras: dict[str, float] = {}
+
+    def best_of(fn, reps=args.reps):
+        t = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            t = dt if t is None else min(t, dt)
+        return round(t, 3)
+
+    extras["must_not_p50ish"] = best_of(
+        lambda: eng.search(or_q, k=10,
+                           exclude=NewTermQuery("content", "class"))
+        .collect())
+    extras["facet_stats"] = best_of(
+        lambda: eng.facet_stats(or_q, on_col="doc_len").collect())
+    extras["facet_histogram"] = best_of(
+        lambda: eng.facet_histogram(or_q, on_col="doc_len",
+                                    width=10).collect())
+    extras["sorted_top12"] = best_of(
+        lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
+    p1 = eng.search(or_q, k=10).collect()
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    hetero = {"plain": or_q, "paged": or_q, "not": or_q,
+              "boosted": or_q}
+    extras["hetero_batch4"] = best_of(
+        lambda: eng.search_many(
+            hetero, k=10, after={"paged": cursor},
+            excludes={"not": NewTermQuery("content", "class")},
+            boosts={"boosted": {"content\x01return": 3.0}}).count())
+
     print(json.dumps({
         "docs": args.docs, "segments": rep.n_segments, "cpus": args.cpus,
         "build_secs": round(build_secs, 1),
@@ -119,6 +155,7 @@ def main() -> None:
         "batch_qps": round(args.batch / best_batch, 1),
         "sequential_secs": round(seq_secs, 3),
         "sequential_qps": round(args.batch / seq_secs, 1),
+        "round4_surface": extras,
     }))
     shutil.rmtree(out, ignore_errors=True)
 
