@@ -435,6 +435,23 @@ def q_bm25_and_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+MSM_QUORUM = 2
+
+
+def q_bm25_msm_top10(spark, sf_dir):
+    """minimum_should_match (ES should-clause quorum; Lucene
+    ``setMinimumNumberShouldMatch``): the flagship OR query with
+    candidates restricted to docs matching >= 2 of the 3 terms,
+    survivors scored over EVERY matching term — so scores equal the
+    plain OR query's for the docs that pass the quorum. Runs the
+    exhaustive scorer (the quorum filter precedes each segment's top-k;
+    a pruned scorer's threshold would make it lossy). Oracle: same BM25
+    CTE with a ``count(DISTINCT term) >= 2`` HAVING candidate set."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search(_bm25_query(), k=10, min_should_match=MSM_QUORUM)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 NESTED_OR = ("query", "spark")
 NESTED_MUST = "merge"
 
@@ -1060,6 +1077,7 @@ QUERIES = {
     "bm25_top10_taat": q_bm25_top10_taat,
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
+    "bm25_msm_top10": q_bm25_msm_top10,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
@@ -1193,6 +1211,8 @@ ORACLE_SQL = {
     "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
     "bm25_nested_top10": sql_bm25_topk(NESTED_OR + (NESTED_MUST,),
                                        cand_having=_NESTED_HAVING),
+    "bm25_msm_top10": sql_bm25_topk(
+        cand_having=f"count(DISTINCT term) >= {MSM_QUORUM}"),
     "bm25_boosted_top10": sql_bm25_topk(
         tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),
     "bm25_page2_top10": sql_bm25_topk(project=(

@@ -80,7 +80,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                         boosts: dict | None = None,
                         after: tuple | None = None,
                         exclude: dict | None = None,
-                        exclude_only: frozenset = frozenset()):
+                        exclude_only: frozenset = frozenset(),
+                        min_match: int = 0):
     """Score ONE query against one segment's posting rows (``pdf``: one
     row per query term present in the segment) -> (doc_ids, scores).
 
@@ -161,7 +162,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
             decoded[r["term"]] = d
     return score_segment_exhaustive(
         query, decoded, idf, avgdl, k, on, off, or_flags, k1, b,
-        after=after, exclude=exclude, exclude_only=exclude_only)
+        after=after, exclude=exclude, exclude_only=exclude_only,
+        min_match=min_match)
 
 
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
@@ -170,7 +172,8 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       n_query_terms: int, boosts: tuple = (),
                       after: tuple | None = None,
                       exclude_json: str | None = None,
-                      exclude_only: tuple = ()):
+                      exclude_only: tuple = (),
+                      min_match: int = 0):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
@@ -184,7 +187,8 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
         ids, scores = _score_segment_rows(
             pdf, query, strategy, n_query_terms, n_docs, avgdl,
             k, on, off, or_flags, k1, b, block_size, boosts=boost_map,
-            after=after, exclude=exclude, exclude_only=excl_only)
+            after=after, exclude=exclude, exclude_only=excl_only,
+            min_match=min_match)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -206,22 +210,23 @@ def _make_batch_kernel(specs: list, n_docs: int, avgdl: float,
     all of those apply inside the scorers, after decode)."""
     parsed = [(qid, json.loads(qj), strat, set(terms), nqt, on, off, orf,
                dict(bst) if bst else None, aft,
-               json.loads(xj) if xj else None, frozenset(xonly))
+               json.loads(xj) if xj else None, frozenset(xonly), msm)
               for qid, qj, strat, terms, nqt, on, off, orf, bst, aft,
-              xj, xonly in specs]
+              xj, xonly, msm in specs]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         enc_cache: dict = {}
         dec_cache: dict = {}
         outs = []
         for (qid, query, strat, terms, nqt, on, off, or_flags, bst,
-             aft, excl, xonly) in parsed:
+             aft, excl, xonly, msm) in parsed:
             sub = pdf[pdf["term"].isin(terms)]
             ids, scores = _score_segment_rows(
                 sub, query, strat, nqt, n_docs, avgdl,
                 k, on, off, or_flags, k1, b, block_size,
                 enc_cache=enc_cache, dec_cache=dec_cache, boosts=bst,
-                after=aft, exclude=excl, exclude_only=xonly)
+                after=aft, exclude=excl, exclude_only=xonly,
+                min_match=msm)
             if len(ids):
                 outs.append(pd.DataFrame(
                     {"qid": qid, "doc_id": ids, "score": scores}))
@@ -368,6 +373,7 @@ class SearchEngine:
                boosts: dict[str, float] | None = None,
                after: tuple[float, int] | None = None,
                exclude: TermQuery | None = None,
+               min_should_match: int = 0,
                hydrate: bool = False) -> DataFrame:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
@@ -403,10 +409,34 @@ class SearchEngine:
         pruning threshold above a legitimate hit's score, making
         post-hoc exclusion lossy. Scores of surviving docs are
         bitwise-identical to the same query without ``exclude``.
+
+        ``min_should_match``: minimum number of DISTINCT query terms a
+        doc must match to be a candidate (Elasticsearch should-clause
+        semantics; Lucene ``BooleanQuery.setMinimumNumberShouldMatch``).
+        Only meaningful for flat OR queries — the quorum counts should
+        clauses, which for this engine's trees are term leaves.
+        Survivors are scored over every matching term, so
+        ``min_should_match <= 1`` is bitwise-identical to the plain
+        query and ``== len(terms)`` has the AND query's candidate set
+        with the OR query's scores. Forces the exhaustive scorer (the
+        quorum filter runs before each segment's top-k heap, which a
+        pruned scorer's threshold bookkeeping would make lossy).
         """
         terms = q.terms()
         if not terms:
             return self._empty_hits(hydrate)
+        msm = int(min_should_match)
+        if msm > 1:
+            if not _is_flat_or(q):
+                raise ValueError(
+                    "min_should_match requires a flat OR-of-terms query "
+                    "(the quorum counts should clauses)")
+            if mode not in ("auto", "taat"):
+                raise ValueError(
+                    "min_should_match requires mode='auto' or 'taat'")
+            if msm > len(set(terms)):
+                return self._empty_hits(hydrate)
+            mode = "taat"
         neg_terms: set[str] = set()
         exclude_json = None
         if exclude is not None:
@@ -452,6 +482,7 @@ class SearchEngine:
             self.stats["block_size"], strategy, len(terms),
             boosts=tuple(sorted((boosts or {}).items())), after=after,
             exclude_json=exclude_json, exclude_only=tuple(sorted(neg_terms)),
+            min_match=msm,
         )
         scan_terms = set(terms) | neg_terms
         ts = F.broadcast(
@@ -472,7 +503,8 @@ class SearchEngine:
                     flags: dict[str, tuple] | None = None,
                     boosts: dict[str, dict[str, float]] | None = None,
                     after: dict[str, tuple] | None = None,
-                    excludes: dict[str, TermQuery] | None = None
+                    excludes: dict[str, TermQuery] | None = None,
+                    min_should_match: dict[str, int] | None = None
                     ) -> DataFrame:
         """BM25 top-k for MANY queries in ONE Spark job — the cluster
         serving shape. A query batch shares a single term-pruned postings
@@ -505,7 +537,9 @@ class SearchEngine:
         paging cursor, and ``excludes`` maps query id -> must_not tree
         (forces that query onto the exhaustive scorer, same as solo
         :meth:`search`) — so boosted, paged, filtered, and excluded
-        requests all multiplex in one batch.
+        requests all multiplex in one batch. ``min_should_match`` maps
+        query id -> term-match quorum (flat OR queries only, same
+        contract as solo :meth:`search`).
         """
         from pyspark.sql.window import Window
 
@@ -513,16 +547,25 @@ class SearchEngine:
         boosts = boosts or {}
         after = after or {}
         excludes = excludes or {}
+        min_should_match = min_should_match or {}
         specs = []
         all_terms: set[str] = set()
         for qid, q in queries.items():
             terms = q.terms()
             if not terms:
                 continue
+            q_msm = int(min_should_match.get(qid, 0))
+            if q_msm > 1:
+                if not _is_flat_or(q):
+                    raise ValueError(
+                        f"min_should_match[{qid!r}] requires a flat "
+                        "OR-of-terms query")
+                if q_msm > len(set(terms)):
+                    continue  # quorum unreachable: no rows for this qid
             excl = excludes.get(qid)
             neg_terms = (set(excl.terms()) - set(terms)) if excl else set()
             excl_json = excl.to_json() if excl and excl.terms() else None
-            strategy = ("taat" if excl_json
+            strategy = ("taat" if excl_json or q_msm > 1
                         else "wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
             q_on, q_off, q_orf = flags.get(qid, (on, off, or_flags))
@@ -537,7 +580,8 @@ class SearchEngine:
                           tuple(sorted(set(terms) | neg_terms)), len(terms),
                           int(q_on), int(q_off), tuple(q_orf),
                           tuple(sorted(q_boosts.items())),
-                          q_after, excl_json, tuple(sorted(neg_terms))))
+                          q_after, excl_json, tuple(sorted(neg_terms)),
+                          q_msm))
             all_terms |= set(terms) | neg_terms
         if not specs:
             df = self.spark.createDataFrame(

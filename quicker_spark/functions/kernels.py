@@ -372,6 +372,7 @@ def score_segment_exhaustive(
     after: tuple[float, int] | None = None,
     exclude: dict | None = None,
     exclude_only: frozenset = frozenset(),
+    min_match: int = 0,
 ):
     """Boolean-filter + BM25-score one segment, vectorized TAAT.
 
@@ -381,8 +382,15 @@ def score_segment_exhaustive(
     ``exclude``: optional must_not tree (ES bool-query semantics): its
     matches are removed from the candidate set BEFORE scoring/top-k, and
     terms appearing only in it (``exclude_only``) never contribute to a
-    score. Returns (doc_ids, scores) of the segment-local top-k, ordered
-    by (score desc, doc_id asc).
+    score. ``min_match``: minimum_should_match (ES should-clause
+    semantics) — a candidate must match at least this many DISTINCT
+    positive query terms (bit-filtered) to survive; survivors are scored
+    over every matching term, exactly like the plain query, so
+    ``min_match=1`` is bitwise-identical to no constraint. Applied
+    before the paging cursor and the top-k, so a cursor taken from an
+    msm result pages within the same constrained rank order. Returns
+    (doc_ids, scores) of the segment-local top-k, ordered by
+    (score desc, doc_id asc).
     """
     filtered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     leaf_ids: dict[str, np.ndarray] = {}
@@ -397,6 +405,18 @@ def score_segment_exhaustive(
     if exclude is not None and cands.size:
         cands = np.setdiff1d(cands, eval_bool_tree(exclude, leaf_ids),
                              assume_unique=True)
+    if min_match > 1 and cands.size:
+        # distinct-term match count per candidate over the POSITIVE
+        # terms (exclude-only leaves never count toward the quorum)
+        counts = np.zeros(cands.size, dtype=np.int64)
+        for t in filtered:
+            fids = filtered[t][0]
+            if fids.size == 0:
+                continue
+            pos = np.searchsorted(fids, cands)
+            pos_c = np.clip(pos, 0, fids.size - 1)
+            counts += fids[pos_c] == cands
+        cands = cands[counts >= min_match]
     if cands.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 

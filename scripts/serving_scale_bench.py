@@ -136,15 +136,19 @@ def main() -> None:
                                     width=10).collect())
     extras["sorted_top12"] = best_of(
         lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
+    or3_q = make("or", ("def", "return", "import"))
+    extras["msm_2of3"] = best_of(
+        lambda: eng.search(or3_q, k=10, min_should_match=2).collect())
     p1 = eng.search(or_q, k=10).collect()
     cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
     hetero = {"plain": or_q, "paged": or_q, "not": or_q,
-              "boosted": or_q}
-    extras["hetero_batch4"] = best_of(
+              "boosted": or_q, "quorum": or3_q}
+    extras["hetero_batch5"] = best_of(
         lambda: eng.search_many(
             hetero, k=10, after={"paged": cursor},
             excludes={"not": NewTermQuery("content", "class")},
-            boosts={"boosted": {"content\x01return": 3.0}}).count())
+            boosts={"boosted": {"content\x01return": 3.0}},
+            min_should_match={"quorum": 2}).count())
 
     print(json.dumps({
         "docs": args.docs, "segments": rep.n_segments, "cpus": args.cpus,
