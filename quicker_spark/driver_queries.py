@@ -452,6 +452,32 @@ def q_bm25_msm_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+def q_bm25_explain_top10(spark, sf_dir):
+    """Score explanation (Lucene explain / ES ``_explanation``): one row
+    per (top-10 hit, matching query term) with tf and the exact idf*u
+    contribution the scorer accumulated — the serving-side debugging
+    surface. The oracle rebuilds the same rows from the BM25 CTEs,
+    restricted to the top-10 doc ids."""
+    eng = get_engine(spark, sf_dir)
+    ex = eng.explain(_bm25_query(), k=10)
+    return ex.select("doc_id", "word", F.col("tf").cast("long").alias("tf"),
+                     x4(F.col("contrib")).alias("contrib_x4"))
+
+
+SQL_EXPLAIN_PROJECT = """
+SELECT tf.doc_id, tf.term AS word, tf.tf::bigint AS tf,
+       round((idf.idf * (tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+             * 10000.0)::bigint AS contrib_x4
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN idf ON tf.term = idf.term
+CROSS JOIN stats
+WHERE tf.doc_id IN
+      (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+"""
+
+
 NESTED_OR = ("query", "spark")
 NESTED_MUST = "merge"
 
@@ -1078,6 +1104,7 @@ QUERIES = {
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
     "bm25_msm_top10": q_bm25_msm_top10,
+    "bm25_explain_top10": q_bm25_explain_top10,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
@@ -1213,6 +1240,7 @@ ORACLE_SQL = {
                                        cand_having=_NESTED_HAVING),
     "bm25_msm_top10": sql_bm25_topk(
         cand_having=f"count(DISTINCT term) >= {MSM_QUORUM}"),
+    "bm25_explain_top10": sql_bm25_topk(project=SQL_EXPLAIN_PROJECT),
     "bm25_boosted_top10": sql_bm25_topk(
         tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),
     "bm25_page2_top10": sql_bm25_topk(project=(

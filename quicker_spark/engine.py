@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from quicker_spark.functions.kernels import (
     EncodedPostings,
+    bm25_u,
     eval_bool_tree,
     filter_by_bits_vec,
     score_segment_conjunctive,
@@ -754,6 +755,86 @@ class SearchEngine:
                 .select("doc_id", "score", "first_tok",
                         snip(F.col("content"),
                              F.col("first_tok")).alias("snippet")))
+
+    def explain(self, q: TermQuery, k: int = 10,
+                **search_kwargs) -> DataFrame:
+        """Per-term score breakdown for the top-k hits (Lucene explain /
+        ES ``_explanation``). Runs the normal :meth:`search` (any mode /
+        boosts / exclude / min_should_match kwargs pass through — the
+        winners are whatever that call returns, k rows collected
+        control-plane), then re-reads ONLY the winners' postings: the
+        scan is pruned by term (parquet row-group stats) AND by the
+        winners' segment directories (PartitionFilters — at 10^12 docs
+        this touches a handful of directories, never the postings tree).
+        Returns one row per (hit doc, matching positive query term):
+        (doc_id, field, word, tf, dl, idf_w, contrib) where
+        ``idf_w`` is the boost-folded idf weight and ``contrib = idf_w *
+        u`` is the exact float64 product every scorer accumulates
+        (kernels.score_segment_exhaustive:431) — summing a doc's
+        contribs in ascending word order reproduces its score
+        bitwise. Exclude-only terms never appear (they never contribute
+        to a score). No reference analog (the reference returns ids
+        only, index_service/sentinel.go:137-187)."""
+        terms = sorted(set(q.terms()))
+        empty_schema = ("doc_id long, field string, word string, "
+                        "tf long, dl long, idf_w double, contrib double")
+        if not terms:
+            return self.spark.createDataFrame([], empty_schema)
+        hits = self.search(q, k=k, **search_kwargs)
+        rows = hits.collect()
+        if not rows:
+            return self.spark.createDataFrame([], empty_schema)
+        hit_ids = np.array(sorted(int(r["doc_id"]) for r in rows),
+                           dtype=np.int64)
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1, b = self.stats["k1"], self.stats["b"]
+        bs = self.stats["block_size"]
+        boosts = dict(search_kwargs.get("boosts") or {})
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for _, r in pdf.iterrows():
+                dids, tfs, dls, _bits = _row_to_encoded(r, bs).decode_all()
+                if not dids.size:
+                    continue
+                pos = np.searchsorted(dids, hit_ids)
+                pos_c = np.clip(pos, 0, dids.size - 1)
+                m = dids[pos_c] == hit_ids
+                if not m.any():
+                    continue
+                sel = pos_c[m]
+                w = boosts.get(r["term"], 1.0) * bm25_idf(
+                    n_docs, int(r["df_global"])) if boosts else bm25_idf(
+                    n_docs, int(r["df_global"]))
+                u = bm25_u(tfs[sel], dls[sel], avgdl, k1, b)
+                field, _, word = r["term"].partition("\x01")
+                outs.append(pd.DataFrame({
+                    "doc_id": dids[sel], "field": field, "word": word,
+                    "tf": tfs[sel], "dl": dls[sel],
+                    "idf_w": np.full(sel.size, w), "contrib": w * u}))
+            if not outs:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "field": pd.Series(dtype="object"),
+                    "word": pd.Series(dtype="object"),
+                    "tf": pd.Series(dtype="int64"),
+                    "dl": pd.Series(dtype="int64"),
+                    "idf_w": pd.Series(dtype="float64"),
+                    "contrib": pd.Series(dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+        seg_docs = int(self.stats["seg_docs"])
+        segs = sorted({int(i) // seg_docs for i in hit_ids})
+        ts = F.broadcast(
+            self.term_stats.filter(F.col("term").isin(terms)))
+        return (self._postings_for(set(terms))
+                .filter(F.col("segment_id").isin(segs))
+                .join(ts, "term", "left")
+                .fillna(0, subset=["df_global"])
+                .groupBy("segment_id")
+                .applyInPandas(kern, empty_schema)
+                .orderBy("doc_id", "field", "word"))
 
     def expand_prefix(self, field: str, prefix: str,
                       max_expansions: int = 64) -> list[str]:
