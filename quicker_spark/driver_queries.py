@@ -478,6 +478,39 @@ WHERE tf.doc_id IN
 """
 
 
+MLT_DOC = 42
+MLT_MAX_TERMS = 5
+
+
+def q_mlt_top10(spark, sf_dir):
+    """More-like-this (Lucene MoreLikeThis / ES ``more_like_this``):
+    seed doc 42's terms ranked by tf*idf (tf from the seed's tokens,
+    idf from the engine's global term stats, ties by term asc), top 5
+    become a flat OR served through the normal scoring path, seed
+    excluded. The oracle recomputes the SAME term selection from the
+    corpus (subquery over the toks/stats CTEs) and the same BM25 top-10
+    without the seed."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.more_like_this(MLT_DOC, max_terms=MLT_MAX_TERMS, k=10)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+SQL_MLT_TERM_WHERE = f"""term IN (SELECT term FROM (
+  SELECT t2.term AS term,
+         t2.tfv * ln((stats.n - d2.dfv + 0.5) / (d2.dfv + 0.5) + 1.0) AS s
+  FROM (SELECT term, count(*)::double AS tfv FROM toks
+        WHERE doc_id = {MLT_DOC} GROUP BY term) t2
+  JOIN (SELECT term, count(DISTINCT doc_id)::double AS dfv FROM toks
+        GROUP BY term) d2 USING (term)
+  CROSS JOIN stats
+  ORDER BY s DESC, term LIMIT {MLT_MAX_TERMS}))"""
+
+SQL_MLT_PROJECT = (
+    f"SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 "
+    f"FROM scores WHERE doc_id <> {MLT_DOC} "
+    "ORDER BY score DESC, doc_id LIMIT 10")
+
+
 NESTED_OR = ("query", "spark")
 NESTED_MUST = "merge"
 
@@ -1105,6 +1138,7 @@ QUERIES = {
     "bm25_nested_top10": q_bm25_nested_top10,
     "bm25_msm_top10": q_bm25_msm_top10,
     "bm25_explain_top10": q_bm25_explain_top10,
+    "mlt_top10": q_mlt_top10,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
@@ -1241,6 +1275,8 @@ ORACLE_SQL = {
     "bm25_msm_top10": sql_bm25_topk(
         cand_having=f"count(DISTINCT term) >= {MSM_QUORUM}"),
     "bm25_explain_top10": sql_bm25_topk(project=SQL_EXPLAIN_PROJECT),
+    "mlt_top10": sql_bm25_topk(term_where=SQL_MLT_TERM_WHERE,
+                               project=SQL_MLT_PROJECT),
     "bm25_boosted_top10": sql_bm25_topk(
         tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),
     "bm25_page2_top10": sql_bm25_topk(project=(

@@ -836,6 +836,59 @@ class SearchEngine:
                 .applyInPandas(kern, empty_schema)
                 .orderBy("doc_id", "field", "word"))
 
+    def mlt_terms(self, doc_id: int, field: str = "content",
+                  max_terms: int = 5) -> list[str]:
+        """The seed doc's representative terms, Lucene MoreLikeThis
+        style: rank the doc's distinct terms by ``tf * idf`` (tf from
+        the seed's token stream, idf from the ENGINE's global term
+        stats), ties broken by term ascending, take ``max_terms``. Two
+        control-plane reads: a point lookup for the seed payload
+        (segment-directory pruned) and a term-stats fetch for the
+        seed's distinct terms (<= one doc's vocabulary — bounded by doc
+        length, never corpus-sized)."""
+        from collections import Counter
+
+        from quicker_spark.functions.tokenize import tokenize_py
+
+        rows = self.lookup([int(doc_id)]).select(field).collect()
+        if not rows:
+            raise KeyError(f"doc {doc_id} not in the index")
+        tf = Counter(tokenize_py(rows[0][field]))
+        if not tf:
+            return []
+        keys = {f"{field}\x01{t}": t for t in tf}
+        n_docs = int(self.stats["n_docs"])
+        df = {r["term"]: int(r["df_global"])
+              for r in self.term_stats.filter(
+                  F.col("term").isin(list(keys))).collect()}
+        ranked = sorted(
+            tf, key=lambda t: (-(float(tf[t]) * bm25_idf(
+                n_docs, df.get(f"{field}\x01{t}", 0))), t))
+        return ranked[:int(max_terms)]
+
+    def more_like_this(self, doc_id: int, field: str = "content",
+                       max_terms: int = 5, k: int = 10, on: int = 0,
+                       off: int = 0, or_flags: tuple = (),
+                       mode: str = "auto",
+                       hydrate: bool = False) -> DataFrame:
+        """Find docs similar to a seed doc (Lucene MoreLikeThis / ES
+        ``more_like_this``): the seed's :meth:`mlt_terms` become a flat
+        OR query served through the normal scoring path (WAND-prunable),
+        with the seed itself excluded from the hits. Searches k+1 then
+        drops the seed — exact: top-k of (candidates minus seed) is the
+        seed-free prefix of the top-(k+1). No reference analog (the
+        reference has no query-by-document surface)."""
+        terms = self.mlt_terms(doc_id, field=field, max_terms=max_terms)
+        if not terms:
+            return self._empty_hits(hydrate)
+        q = Or(*[NewTermQuery(field, t) for t in terms])
+        hits = (self.search(q, k=int(k) + 1, on=on, off=off,
+                            or_flags=or_flags, mode=mode)
+                .filter(F.col("doc_id") != int(doc_id))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(int(k)))
+        return self.hydrate(hits) if hydrate else hits
+
     def expand_prefix(self, field: str, prefix: str,
                       max_expansions: int = 64) -> list[str]:
         """Prefix -> matching vocabulary terms from the (vocabulary-sized)
