@@ -853,6 +853,35 @@ def q_upsert_then_search(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+def q_merge_then_search(spark, sf_dir):
+    """Wave compaction lifecycle (Lucene forceMerge analog): a
+    deliberately FRAGMENTED index — tiny segments, one wave each, the
+    shape months of micro-batch upserts leave behind — is force-merged
+    down to full-size waves, then re-queried. force_merge is
+    layout-only (posting runs, doc ids, scores all byte-identical), so
+    the oracle is the plain flagship BM25 oracle; the query also proves
+    the merged layout serves reads (term-pruned scan, WAND) unchanged."""
+    import shutil
+
+    from quicker_spark.operators.maintain import force_merge
+
+    key = (os.path.normpath(sf_dir), "merged")
+    if key not in _ENGINES:
+        base = get_engine(spark, sf_dir)  # ensures corpus cached/built
+        out = base.index_dir + "_frag"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = IndexConfig(fields=DRIVER_FIELDS, id_col="biz_id",
+                          seg_docs=DRIVER_SEG_DOCS // 10, wave_segments=1)
+        build_index(spark, corpus_df(spark, sf_dir), out, cfg,
+                    resume=False)
+        rep = force_merge(spark, out, wave_segments=64)
+        assert rep["merged"] and rep["waves_after"] < rep["waves_before"]
+        _ENGINES[key] = SearchEngine(spark, out)
+    eng = _ENGINES[key]
+    hits = eng.search(_bm25_query(), k=10, mode="wand")
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_hydrate_top10(spark, sf_dir):
     """S4/Q7: top-k then forward-index hydration join (broadcast of the
     post-limit side) — payload columns must match a SQL join."""
@@ -1158,6 +1187,7 @@ QUERIES = {
     "searcher_top10": q_searcher_top10,
     "delete_then_search": q_delete_then_search,
     "upsert_then_search": q_upsert_then_search,
+    "merge_then_search": q_merge_then_search,
     "resume_decode": q_resume_decode,
     "hydrate_top10": q_hydrate_top10,
     "lookup_docs": q_lookup_docs,
@@ -1398,6 +1428,7 @@ ORDER BY score DESC, doc_id LIMIT 10
         base=f"{SQL_DOCS_BASE} WHERE doc_id NOT IN {SQL_DEL_IDS_IN}"),
     "upsert_then_search": sql_bm25_topk(UPSERT_TERMS,
                                         base=SQL_UPSERTED_BASE),
+    "merge_then_search": SQL_BM25_TOP10,
     "resume_decode": (
         f"WITH toks AS ({SQL_TOKS}) "
         "SELECT term, count(*) AS df, "

@@ -114,10 +114,15 @@ def recover_pending(spark: SparkSession, index_dir: str) -> bool:
 
     The full-postings-scan recompute — at warehouse scale the exact scan
     the delta path exists to avoid — is only taken for markers that
-    predate the progress flags (legacy format)."""
+    predate the progress flags (legacy format).
+
+    Also heals a half-done :func:`force_merge` first (an independent
+    marker) so every maintenance entry point leaves the wave layout
+    consistent before mutating it."""
+    merged = recover_merge(index_dir)
     marker = os.path.join(index_dir, _PENDING)
     if not os.path.exists(marker):
-        return False
+        return merged
     try:
         with open(marker) as fh:
             pending = json.load(fh)
@@ -487,3 +492,138 @@ def upsert_docs(spark: SparkSession, index_dir: str, new_corpus: DataFrame,
     res["n_inserted"] = n_new
     res["n_replaced"] = n_replaced
     return res
+
+
+# ---------------------------------------------------------------------------
+# force merge (wave compaction)
+# ---------------------------------------------------------------------------
+
+_MERGE_PENDING = "merge_pending.json"
+_P_MERGED = "postings_merged"
+_M_MERGED = "manifest_merged"
+_POS_MERGED = "positions_merged"
+
+
+def recover_merge(index_dir: str) -> bool:
+    """Finish (or abandon) a half-done :func:`force_merge` commit.
+    Idempotent; returns True if a marker was found. The marker is only
+    ever written AFTER all staging writes are _SUCCESS-fenced, so a
+    parsable marker always means "replay the swaps" (apply_dir_ops
+    skips swaps whose staging source is already gone); an unparsable
+    one is pre-atomic corruption and means "staging never committed":
+    drop the stagings, leave the live tree alone."""
+    marker = os.path.join(index_dir, _MERGE_PENDING)
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as fh:
+            pending = json.load(fh)
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        pending = None
+    if pending and pending.get("staged"):
+        _apply_dir_ops(index_dir, pending["ops"])
+        if "stats" in pending:
+            _write_stats(index_dir, pending["stats"])
+    else:
+        for rel in (_P_MERGED, _M_MERGED, _POS_MERGED):
+            shutil.rmtree(os.path.join(index_dir, rel), ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def _relayout(df: DataFrame, map_df: DataFrame, out_path: str) -> None:
+    """Rewrite a wave-partitioned tree under a new segment->wave map:
+    drop the old wave partition column, broadcast-join the new one,
+    local-sort so every output file stays term-sorted (row-group
+    pruning), write partitioned. No shuffle: each input (wave, segment)
+    directory maps to exactly one output directory."""
+    cols = [c for c in df.columns if c != "wave"]
+    sort_cols = ["wave", "segment_id"] + (
+        ["term"] if "term" in cols else [])
+    (df.select(*cols)
+     .join(F.broadcast(map_df), "segment_id")
+     .sortWithinPartitions(*sort_cols)
+     .write.mode("overwrite").partitionBy("wave", "segment_id")
+     .parquet(out_path))
+
+
+def force_merge(spark: SparkSession, index_dir: str,
+                wave_segments: int | None = None) -> dict:
+    """Compact the posting-wave layout into full-size waves (the Lucene
+    ``forceMerge`` / ES ``_forcemerge`` analog for this engine's wave
+    unit; the reference's only compaction is a whole-index rebuild,
+    index_service/indexer.go:42-58).
+
+    Months of upserts / streaming micro-batches each land their new
+    segments in a fresh wave, so the postings tree fans out into many
+    small ``wave=K`` directories and every term-pruned scan pays
+    per-file open cost. force_merge re-groups ALL manifested segments
+    into consecutive runs of ``wave_segments`` (default: the index's
+    own geometry; pass a larger value to merge harder — the
+    ``forceMerge(maxNumSegments)`` knob) and relays the EXISTING
+    posting runs into that layout. Pure metadata/layout move: posting
+    runs are keyed (segment, term) and segments are immutable doc-id
+    ranges, so posting bytes, doc ids, term stats, and scores are all
+    unchanged — no decode, no re-tokenize, no shuffle (map-side
+    partitioned write; one input directory -> one output directory).
+    The positional sidecar, when present, is relaid the same way
+    (it is self-describing: refresh_positions reads its own wave
+    directories).
+
+    Crash-safe like delete/upsert: postings + manifest (+ positions)
+    stage beside the live tree, a marker commits after staging, and
+    :func:`recover_merge` (called first by every maintenance entry
+    point) replays the idempotent directory swaps from any crash
+    point. Returns {"merged", "waves_before", "waves_after",
+    "segments"}."""
+    recover_merge(index_dir)
+    recover_pending(spark, index_dir)
+    stats = _load_stats(index_dir)
+    cfg = IndexConfig.from_stats(stats)
+    target = int(wave_segments) if wave_segments else cfg.wave_segments
+    if target <= 0:
+        raise ValueError("wave_segments must be positive")
+    wave_map = _wave_map(spark, index_dir)
+    segs = sorted({s for ss in wave_map.values() for s in ss})
+    groups = [segs[i:i + target] for i in range(0, len(segs), target)]
+    new_map = {s: g[0] for g in groups for s in g}
+    cur_map = {s: wk for wk, ss in wave_map.items() for s in ss}
+    report = {"merged": False, "waves_before": len(wave_map),
+              "waves_after": len(groups), "segments": len(segs)}
+    if new_map == cur_map:
+        if wave_segments and int(stats.get("wave_segments", 0)) != target:
+            stats["wave_segments"] = target
+            _write_stats(index_dir, stats)
+        return report
+
+    map_df = spark.createDataFrame(
+        [(int(s), int(w)) for s, w in sorted(new_map.items())],
+        "segment_id long, wave long")
+    _relayout(spark.read.parquet(os.path.join(index_dir, "postings")),
+              map_df, os.path.join(index_dir, _P_MERGED))
+    man = (spark.read.parquet(os.path.join(index_dir, "manifest"))
+           .drop("wave"))
+    (man.join(F.broadcast(map_df), "segment_id")
+     .write.mode("overwrite").partitionBy("wave", "segment_id")
+     .parquet(os.path.join(index_dir, _M_MERGED)))
+    ops = [{"op": "swap", "src": _P_MERGED, "dst": "postings"},
+           {"op": "swap", "src": _M_MERGED, "dst": "manifest"}]
+
+    pos_root = os.path.join(index_dir, "positions")
+    meta_file = os.path.join(pos_root, "_meta.json")
+    if os.path.isdir(pos_root) and os.path.exists(meta_file):
+        _relayout(spark.read.parquet(pos_root), map_df,
+                  os.path.join(index_dir, _POS_MERGED))
+        shutil.copy2(meta_file,
+                     os.path.join(index_dir, _POS_MERGED, "_meta.json"))
+        ops.append({"op": "swap", "src": _POS_MERGED, "dst": "positions"})
+
+    new_stats = dict(stats)
+    new_stats["wave_segments"] = target
+    atomic_write_json(os.path.join(index_dir, _MERGE_PENDING),
+                      {"staged": True, "ops": ops, "stats": new_stats})
+    _apply_dir_ops(index_dir, ops)
+    _write_stats(index_dir, new_stats)
+    os.remove(os.path.join(index_dir, _MERGE_PENDING))
+    report["merged"] = True
+    return report
