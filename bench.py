@@ -181,6 +181,32 @@ def main() -> None:
             And(NewTermQuery("content", "table"),
                 NewTermQuery("content", "merge")),
             on_col="doc_len").collect())
+    timings["bm25_msm_top10"] = median_time(
+        lambda: eng.search(
+            Or(*[NewTermQuery("content", t)
+                 for t in ("query", "spark", "table")]),
+            k=10, min_should_match=2).collect())
+    timings["bm25_explain_top10"] = median_time(
+        lambda: eng.explain(or_q, k=10).collect())
+    timings["mlt_top10"] = median_time(
+        lambda: eng.more_like_this(42, max_terms=5, k=10).collect())
+    timings["suggest_top5"] = median_time(
+        lambda: eng.suggest("content", "tabl", max_edits=2, n=5).collect())
+
+    # -- wave compaction: untimed fragmented rebuild (the shape months of
+    # micro-batch upserts leave), timed layout-only merge -------------------
+    from quicker_spark.operators.maintain import force_merge
+
+    frag_dir = tempfile.mkdtemp(prefix="quicker_bench_frag_")
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    build_index(spark, corpus, frag_dir,
+                IndexConfig(fields=dq.DRIVER_FIELDS, id_col="biz_id",
+                            seg_docs=dq.DRIVER_SEG_DOCS, wave_segments=2),
+                resume=False)
+    t0 = time.time()
+    force_merge(spark, frag_dir, wave_segments=64)
+    timings["force_merge"] = time.time() - t0
+    shutil.rmtree(frag_dir, ignore_errors=True)
 
     # -- training-data operators ---------------------------------------------
     docs = dq.documents(spark, sf_dir)

@@ -478,6 +478,19 @@ WHERE tf.doc_id IN
 """
 
 
+SUGGEST_WORD = "tabl"
+
+
+def q_suggest_top5(spark, sf_dir):
+    """Spell suggestion (ES term suggester / Lucene DirectSpellChecker):
+    vocabulary terms within 2 edits of the misspelling 'tabl', the word
+    itself excluded, ranked (distance asc, df desc, term asc) — the
+    rank is fully deterministic, so the top-5 multiset is unique. The
+    oracle recomputes the vocabulary + levenshtein from the corpus."""
+    eng = get_engine(spark, sf_dir)
+    return eng.suggest("content", SUGGEST_WORD, max_edits=2, n=5)
+
+
 MLT_DOC = 42
 MLT_MAX_TERMS = 5
 
@@ -1168,6 +1181,7 @@ QUERIES = {
     "bm25_msm_top10": q_bm25_msm_top10,
     "bm25_explain_top10": q_bm25_explain_top10,
     "mlt_top10": q_mlt_top10,
+    "suggest_top5": q_suggest_top5,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
@@ -1307,6 +1321,19 @@ ORACLE_SQL = {
     "bm25_explain_top10": sql_bm25_topk(project=SQL_EXPLAIN_PROJECT),
     "mlt_top10": sql_bm25_topk(term_where=SQL_MLT_TERM_WHERE,
                                project=SQL_MLT_PROJECT),
+    "suggest_top5": f"""
+WITH toks AS ({SQL_TOKS}),
+voc AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM toks
+        GROUP BY term)
+SELECT term AS word, levenshtein(term, '{SUGGEST_WORD}')::bigint AS distance,
+       df
+FROM voc
+WHERE term LIKE '{SUGGEST_WORD[0]}%'
+  AND abs(length(term) - {len(SUGGEST_WORD)}) <= 2
+  AND levenshtein(term, '{SUGGEST_WORD}') <= 2
+  AND term <> '{SUGGEST_WORD}'
+ORDER BY distance, df DESC, term LIMIT 5
+""",
     "bm25_boosted_top10": sql_bm25_topk(
         tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),
     "bm25_page2_top10": sql_bm25_topk(project=(

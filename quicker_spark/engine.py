@@ -952,6 +952,39 @@ class SearchEngine:
                 .limit(int(max_expansions)).collect())
         return [r["term"] for r in rows]
 
+    def suggest(self, field: str, word: str, max_edits: int = 2,
+                prefix_len: int = 1, n: int = 5) -> DataFrame:
+        """Spell suggestion ("did you mean" — the ES term-suggester /
+        Lucene DirectSpellChecker contract): vocabulary terms within
+        ``max_edits`` Levenshtein of ``word``, the word itself excluded
+        (a correct word is not a suggestion for itself), ranked
+        (distance asc, df desc, term asc), top ``n``, returned lazily
+        as (word, distance, df). Same pushed-down dictionary-slice plan
+        as :meth:`expand_fuzzy`: the ``prefix_len`` literal-prefix
+        anchor turns the vocabulary scan into a string-range slice of
+        the term-sorted parquet, and the length band prefilters
+        JVM-side before the levenshtein. The ``df`` column lets callers
+        apply DirectSpellChecker's more-popular refinement (only
+        suggest terms more frequent than the typed one)."""
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        word = str(word).lower()
+        pref = f"{field}\x01{word[:prefix_len]}" if prefix_len \
+            else f"{field}\x01"
+        wordpart = F.expr(f"substring(term, {len(field) + 2})")
+        return (self.term_stats
+                .filter(F.col("term").startswith(pref))
+                .filter(F.abs(F.length(wordpart) - F.lit(len(word)))
+                        <= F.lit(int(max_edits)))
+                .select(wordpart.alias("word"),
+                        F.levenshtein(wordpart, F.lit(word))
+                        .cast("long").alias("distance"),
+                        F.col("df_global").cast("long").alias("df"))
+                .filter((F.col("distance") <= F.lit(int(max_edits)))
+                        & (F.col("word") != F.lit(word)))
+                .orderBy(F.asc("distance"), F.desc("df"), F.asc("word"))
+                .limit(int(n)))
+
     def search_fuzzy(self, field: str, word: str, k: int = 10,
                      max_edits: int = 1, prefix_len: int = 1,
                      on: int = 0, off: int = 0, or_flags: tuple = (),

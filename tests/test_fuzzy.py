@@ -256,3 +256,44 @@ def test_facet_stats_matches_brute_force(engine, oracle):
         n, mn, mx, sm = exp.get(lang, (0, 10**9, -1, 0))
         exp[lang] = (n + 1, min(mn, dl), max(mx, dl), sm + dl)
     assert got == exp
+
+
+# -- spell suggestion ("did you mean") ----------------------------------------
+
+def _brute_suggest(oracle, word, max_edits, prefix_len, n):
+    pre = "content\x01"
+    cands = []
+    for t, tfm in oracle.postings.items():
+        if not t.startswith(pre):
+            continue
+        w = t[len(pre):]
+        if prefix_len and not w.startswith(word[:prefix_len]):
+            continue
+        if w == word:
+            continue
+        d = _lev(w, word)
+        if d <= max_edits:
+            cands.append((d, -len(tfm), w))
+    cands.sort()
+    return [(w, d, -neg_df) for d, neg_df, w in cands[:n]]
+
+
+def test_suggest_matches_brute_force(engine, oracle):
+    got = [(r["word"], r["distance"], r["df"])
+           for r in engine.suggest("content", "tok5x", max_edits=2,
+                                   prefix_len=1, n=5).collect()]
+    assert got == _brute_suggest(oracle, "tok5x", 2, 1, 5)
+    assert got  # the fixture vocabulary has tokNN neighbors
+
+
+def test_suggest_excludes_the_word_itself(engine, oracle):
+    word = next(iter(_vocab(oracle)))  # a word that IS in the vocabulary
+    got = [r["word"] for r in engine.suggest("content", word, max_edits=1,
+                                             n=50).collect()]
+    assert word not in got
+
+
+def test_suggest_lowercases_input(engine):
+    lo = [tuple(r) for r in engine.suggest("content", "tok5x", n=5).collect()]
+    up = [tuple(r) for r in engine.suggest("content", "TOK5X", n=5).collect()]
+    assert lo == up and lo
