@@ -192,6 +192,11 @@ def main() -> None:
         lambda: eng.more_like_this(42, max_terms=5, k=10).collect())
     timings["suggest_top5"] = median_time(
         lambda: eng.suggest("content", "tabl", max_edits=2, n=5).collect())
+    timings["sig_terms"] = median_time(
+        lambda: eng.significant_terms(
+            And(NewTermQuery("content", "table"),
+                NewTermQuery("content", "merge")),
+            size=10, min_doc_count=3).collect())
 
     # -- wave compaction: untimed fragmented rebuild (the shape months of
     # micro-batch upserts leave), timed layout-only merge -------------------

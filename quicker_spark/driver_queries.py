@@ -478,6 +478,23 @@ WHERE tf.doc_id IN
 """
 
 
+SIGTERMS_MIN_DF = 3
+
+
+def q_sig_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES ``significant_terms``): terms
+    overrepresented in the AND(table, merge) match set vs the corpus,
+    lift = (fg_df/fg_n)/(bg_df/n_docs), min foreground df 3, rank
+    (lift desc, word asc) top 10. Foreground comes from a column-pruned
+    hydrate_join + map-side-distinct explode (cost ~ match set);
+    background broadcasts from the vocabulary-sized term stats."""
+    eng = get_engine(spark, sf_dir)
+    q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
+    out = eng.significant_terms(q, size=10, min_doc_count=SIGTERMS_MIN_DF)
+    return out.select("word", "fg_df", "bg_df",
+                      x4(F.col("lift")).alias("lift_x4"))
+
+
 SUGGEST_WORD = "tabl"
 
 
@@ -1182,6 +1199,7 @@ QUERIES = {
     "bm25_explain_top10": q_bm25_explain_top10,
     "mlt_top10": q_mlt_top10,
     "suggest_top5": q_suggest_top5,
+    "sig_terms": q_sig_terms,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
@@ -1333,6 +1351,24 @@ WHERE term LIKE '{SUGGEST_WORD[0]}%'
   AND levenshtein(term, '{SUGGEST_WORD}') <= 2
   AND term <> '{SUGGEST_WORD}'
 ORDER BY distance, df DESC, term LIMIT 5
+""",
+    "sig_terms": f"""
+WITH toks AS ({SQL_TOKS}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+m AS (SELECT doc_id FROM dt WHERE term = '{AND_TERMS[0]}'
+      INTERSECT SELECT doc_id FROM dt WHERE term = '{AND_TERMS[1]}'),
+fg AS (SELECT term, count(*)::bigint AS fg_df FROM dt
+       WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term
+       HAVING count(*) >= {SIGTERMS_MIN_DF}),
+bg AS (SELECT term, count(*)::bigint AS bg_df FROM dt GROUP BY term),
+st AS (SELECT (SELECT count(*)::double FROM documents) AS n,
+              (SELECT count(*)::double FROM m) AS fg_n)
+SELECT fg.term AS word, fg_df, bg_df,
+       round(((fg_df::double / st.fg_n) / (bg_df::double / st.n))
+             * 10000.0)::bigint AS lift_x4
+FROM fg JOIN bg USING (term) CROSS JOIN st
+ORDER BY (fg_df::double / st.fg_n) / (bg_df::double / st.n) DESC, word
+LIMIT 10
 """,
     "bm25_boosted_top10": sql_bm25_topk(
         tuple(BOOST_WEIGHTS), weights=BOOST_WEIGHTS),

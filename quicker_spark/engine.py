@@ -1141,6 +1141,56 @@ class SearchEngine:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.asc("bucket")))
 
+    def significant_terms(self, q: TermQuery, field: str = "content",
+                          size: int = 10, min_doc_count: int = 2,
+                          on: int = 0, off: int = 0,
+                          or_flags: tuple = ()) -> DataFrame:
+        """Significant-terms aggregation over the FULL boolean match set
+        (the ES ``significant_terms`` shape): terms overrepresented in
+        the matching docs (foreground) relative to the whole corpus
+        (background). Score = lift = (fg_df / fg_n) / (bg_df / n_docs);
+        terms below ``min_doc_count`` foreground docs are dropped (rare
+        flukes dominate raw lift); rank (lift desc, word asc), top
+        ``size``. Returns (word, fg_df, bg_df, lift).
+
+        Plan: the match set's payload joins column-pruned
+        (:meth:`hydrate_join` reads ONLY ``field``), foreground dfs come
+        from one map-side-distinct explode + aggregate — cost is
+        proportional to the MATCH SET, never the corpus — and
+        background dfs broadcast from the vocabulary-sized term-stats
+        table. ``field`` must be a tokenized field (the engine token
+        spec defines what a term is). One distributed aggregation;
+        nothing corpus-sized is collected."""
+        from quicker_spark.functions.tokenize import tokenize_col
+
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        fg_n = matches.count()
+        if fg_n == 0:
+            return self.spark.createDataFrame(
+                [], "word string, fg_df long, bg_df long, lift double")
+        n_docs = int(self.stats["n_docs"])
+        joined = self.hydrate_join(matches.select("doc_id"), cols=(field,))
+        fg = (joined
+              .select(F.explode(F.array_distinct(
+                  tokenize_col(F.col(field)))).alias("word"))
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("fg_df"))
+              .filter(F.col("fg_df") >= F.lit(int(min_doc_count))))
+        bg = F.broadcast(
+            self.term_stats
+            .filter(F.col("term").startswith(f"{field}\x01"))
+            .select(F.expr(f"substring(term, {len(field) + 2})")
+                    .alias("word"),
+                    F.col("df_global").alias("bg_df")))
+        lift = ((F.col("fg_df").cast("double") / F.lit(float(fg_n)))
+                / (F.col("bg_df").cast("double") / F.lit(float(n_docs))))
+        return (fg.join(bg, "word", "inner")
+                .select("word", F.col("fg_df").cast("long").alias("fg_df"),
+                        F.col("bg_df").cast("long").alias("bg_df"),
+                        lift.alias("lift"))
+                .orderBy(F.desc("lift"), F.asc("word"))
+                .limit(int(size)))
+
     def search_fields(self, words, field_boosts: dict[str, float],
                       k: int = 10, on: int = 0, off: int = 0,
                       or_flags: tuple = (), mode: str = "auto",
