@@ -197,6 +197,8 @@ def main() -> None:
             And(NewTermQuery("content", "table"),
                 NewTermQuery("content", "merge")),
             size=10, min_doc_count=3).collect())
+    timings["collapse_top5"] = median_time(
+        lambda: eng.search_collapse(or_q, by="lang", k=5).collect())
 
     # -- wave compaction: untimed fragmented rebuild (the shape months of
     # micro-batch upserts leave), timed layout-only merge -------------------

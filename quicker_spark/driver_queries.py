@@ -478,6 +478,26 @@ WHERE tf.doc_id IN
 """
 
 
+def q_collapse_top5(spark, sf_dir):
+    """Field collapsing (ES collapse): top-5 over the best-scoring doc
+    per lang for the flagship OR query — every match scored, one hit
+    per group. Oracle: the BM25 CTEs + a row_number window per lang."""
+    eng = get_engine(spark, sf_dir)
+    out = eng.search_collapse(_bm25_query(), by="lang", k=5)
+    return out.select("doc_id", x4(F.col("score")).alias("score_x4"),
+                      "lang")
+
+
+SQL_COLLAPSE_PROJECT = """
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4, lang
+FROM (SELECT s.doc_id, s.score, d.lang,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY s.score DESC, s.doc_id) AS rn
+      FROM scores s JOIN documents d USING (doc_id))
+WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 5
+"""
+
+
 SIGTERMS_MIN_DF = 3
 
 
@@ -1200,6 +1220,7 @@ QUERIES = {
     "mlt_top10": q_mlt_top10,
     "suggest_top5": q_suggest_top5,
     "sig_terms": q_sig_terms,
+    "collapse_top5": q_collapse_top5,
     "bm25_boosted_top10": q_bm25_boosted_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "bm25_page2_top10": q_bm25_page2_top10,
@@ -1337,6 +1358,7 @@ ORACLE_SQL = {
     "bm25_msm_top10": sql_bm25_topk(
         cand_having=f"count(DISTINCT term) >= {MSM_QUORUM}"),
     "bm25_explain_top10": sql_bm25_topk(project=SQL_EXPLAIN_PROJECT),
+    "collapse_top5": sql_bm25_topk(project=SQL_COLLAPSE_PROJECT),
     "mlt_top10": sql_bm25_topk(term_where=SQL_MLT_TERM_WHERE,
                                project=SQL_MLT_PROJECT),
     "suggest_top5": f"""

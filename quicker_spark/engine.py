@@ -1081,6 +1081,57 @@ class SearchEngine:
             off=off, or_flags=or_flags, max_expansions=max_expansions,
             hydrate=hydrate)
 
+    def _scored_matches(self, q: TermQuery, on: int = 0, off: int = 0,
+                        or_flags: tuple = ()) -> DataFrame:
+        """EVERY boolean match of ``q`` BM25-scored (no top-k): the TAAT
+        kernel with the per-segment keep set equal to the segment size,
+        so nothing is dropped. The building block for operators that
+        rank within the full match set (field collapsing); cost is
+        proportional to the match set, exactly like the boolean path."""
+        terms = q.terms()
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        n_docs = int(self.stats["n_docs"])
+        kern = _make_topk_kernel(
+            q.to_json(), n_docs, float(self.stats["avgdl"]),
+            n_docs, on, off, tuple(or_flags), self.stats["k1"],
+            self.stats["b"], self.stats["block_size"], "taat", len(terms))
+        ts = F.broadcast(
+            self.term_stats.filter(F.col("term").isin(list(set(terms)))))
+        return (self._postings_for(set(terms))
+                .join(ts, "term", "left")
+                .fillna(0, subset=["df_global"])
+                .groupBy("segment_id")
+                .applyInPandas(kern, "doc_id long, score double"))
+
+    def search_collapse(self, q: TermQuery, by: str = "lang", k: int = 10,
+                        on: int = 0, off: int = 0,
+                        or_flags: tuple = ()) -> DataFrame:
+        """Field collapsing (ES ``collapse`` / Lucene grouping): the
+        global top-k over the BEST-scoring doc per group key — each
+        group contributes at most one hit, so the page shows diverse
+        groups instead of one group's pile. Exact, not the
+        oversample-then-dedup approximation: every match is scored
+        (:meth:`_scored_matches`), the group key joins on via the
+        prunable column-pruned hydration join, one window picks each
+        group's best (score desc, doc_id asc — the engine tie-break),
+        and TakeOrdered merges the per-group winners. The window
+        shuffles by group key once; its input is the match set, never
+        the corpus. Returns (doc_id, score, <by>)."""
+        from pyspark.sql.window import Window
+
+        scored = self._scored_matches(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(scored, cols=(by,))
+        w = Window.partitionBy(by).orderBy(F.desc("score"),
+                                           F.asc("doc_id"))
+        return (joined
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("doc_id", "score", by)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(int(k)))
+
     def search_sorted(self, q: TermQuery, by: str = "doc_len",
                       ascending: bool = False, k: int = 10,
                       on: int = 0, off: int = 0,
