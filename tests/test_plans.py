@@ -177,3 +177,41 @@ def test_lsh_candidates_is_equi_join(spark):
     plan = _plan(lsh_candidate_pairs(sigs, k=8, bands=4))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_explain_scan_is_term_and_segment_pruned(eng):
+    ex = eng.explain(Or(NewTermQuery("content", "def"),
+                        NewTermQuery("content", "return")), k=5)
+    plan = _formatted(ex)
+    # winners' postings re-read: term IN-filter pushed, and the scan is
+    # restricted to the winners' segment DIRECTORIES
+    assert "In(term" in plan or "term IN" in plan
+    pf = [ln for ln in plan.splitlines()
+          if "PartitionFilters" in ln and "segment_id" in ln]
+    assert pf, "explain postings scan lost its segment partition filter"
+
+
+def test_sig_terms_foreground_scan_is_column_pruned(eng):
+    from quicker_spark.plans.term_query import And
+
+    out = eng.significant_terms(
+        And(NewTermQuery("content", "def"),
+            NewTermQuery("content", "return")), size=5, min_doc_count=1)
+    plan = _formatted(out)
+    # the foreground hydration reads ONLY the tokenized field (+ join
+    # keys) from the forward index — never the full payload
+    reads = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "content" in ln]
+    assert reads and all("repo" not in ln and "doc_sha" not in ln
+                         for ln in reads)
+    # background stats broadcast (vocabulary-sized dimension)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_collapse_hydration_is_column_pruned(eng):
+    out = eng.search_collapse(Or(NewTermQuery("content", "def")),
+                              by="lang", k=5)
+    plan = _formatted(out)
+    reads = [ln for ln in plan.splitlines()
+             if "ReadSchema" in ln and "lang" in ln]
+    assert reads and all("content" not in ln for ln in reads)
