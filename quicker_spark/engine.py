@@ -343,6 +343,48 @@ class SearchEngine:
         """Indexed doc count (reference: Indexer.Count, indexer.go:60-67)."""
         return self.docs.count()
 
+    def describe(self) -> dict:
+        """Index topology + size report (the `_cat/indices` shape):
+        doc/segment/wave counts, vocabulary size, and on-disk bytes per
+        tree. Everything comes from stats.json, the directory listing,
+        and one count over the vocabulary-sized term-stats table — no
+        postings scan, no corpus-sized job."""
+        def _tree(rel: str) -> dict:
+            root = os.path.join(self.index_dir, rel)
+            n_bytes = n_files = 0
+            waves, segs = set(), set()
+            for dp, _dn, fns in os.walk(root):
+                base = os.path.basename(dp)
+                if base.startswith("wave="):
+                    waves.add(int(base.split("=", 1)[1]))
+                elif base.startswith("segment_id="):
+                    segs.add(int(base.split("=", 1)[1]))
+                for f in fns:
+                    if not f.startswith((".", "_")):
+                        n_bytes += os.path.getsize(os.path.join(dp, f))
+                        n_files += 1
+            out = {"bytes": n_bytes, "files": n_files}
+            if waves:
+                out["waves"] = len(waves)
+            if segs:
+                out["segments"] = len(segs)
+            return out
+
+        trees = {rel: _tree(rel)
+                 for rel in ("postings", "docs", "term_stats", "positions")
+                 if os.path.isdir(os.path.join(self.index_dir, rel))}
+        return {
+            "n_docs": int(self.stats["n_docs"]),
+            # from the live docs tree, not arithmetic on n_docs — upserts
+            # append fresh higher-id segments without growing n_docs
+            "n_segments": trees.get("docs", {}).get("segments", 0),
+            "seg_docs": int(self.stats["seg_docs"]),
+            "wave_segments": int(self.stats.get("wave_segments", 64)),
+            "avgdl": float(self.stats["avgdl"]),
+            "vocabulary": self.term_stats.count(),
+            "trees": trees,
+        }
+
     def lookup(self, doc_ids: list[int]) -> DataFrame:
         """Forward-index batch get, order-insensitive, missing ids absent
         (reference: kvdb BatchGet, internal/kvdb/kv_db.go:27). The ids'

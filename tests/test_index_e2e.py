@@ -236,3 +236,27 @@ def test_doc_ids_duplicate_keys_stay_distinct_and_stable(spark):
     rows2 = [(r["path"], r["doc_id"]) for r in ids2.collect()]
     assert sorted(i for _p, i in rows1) == list(range(45))
     assert sorted(rows1) == sorted(rows2)  # same (key, id) multiset
+
+
+def test_describe_reports_topology(spark, tmp_path):
+    import shutil as _sh
+
+    from quicker_spark.engine import SearchEngine
+    from quicker_spark.fixtures import corpus_pdf as _pdf
+    from quicker_spark.operators.build import (
+        IndexConfig as _Cfg,
+        build_index as _build,
+    )
+
+    out = str(tmp_path / "desc_idx")
+    _sh.rmtree(out, ignore_errors=True)
+    _build(spark, spark.createDataFrame(_pdf(250)), out,
+           _Cfg(seg_docs=100, wave_segments=2), resume=False)
+    d = SearchEngine(spark, out).describe()
+    assert d["n_docs"] == 250 and d["seg_docs"] == 100
+    assert d["n_segments"] == 3 and d["wave_segments"] == 2
+    assert d["vocabulary"] > 0 and d["avgdl"] > 0
+    assert d["trees"]["postings"]["waves"] == 2
+    assert d["trees"]["postings"]["bytes"] > 0
+    assert d["trees"]["docs"]["files"] > 0
+    assert "term_stats" in d["trees"]
