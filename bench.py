@@ -49,6 +49,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.local.dir", "/dev/shm/spark-local")
+        # zstd shuffle: measured faster than lz4 at every pinned level
+        # on this VM (shuffle spills land on tmpfs, so shuffle bytes are
+        # memory-controller traffic); see BENCH.md round-4 scaling
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

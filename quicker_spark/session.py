@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd shuffle codec: denser than lz4, trading a little per-core
+        # CPU for shuffle bytes. Measured faster at every pinned core
+        # count on the bench VM (shuffle spill lands on tmpfs there, so
+        # shuffle bytes are memory-controller traffic — BENCH.md round-4
+        # scaling section); on a disk-spilling cluster the byte savings
+        # help the same way via IO. Override via extra_conf if needed.
+        .config("spark.io.compression.codec",
+                os.environ.get("QS_SHUFFLE_CODEC", "zstd"))
     )
     # Prefer tmpfs shuffle dirs only where /dev/shm actually exists (it
     # removes virtio-disk contention in this sandbox). Trade-off: on tmpfs

@@ -47,6 +47,14 @@ def run_single(cores: int, n_docs: int, reps: int = 1) -> dict:
         # merge (GC) and smooths stragglers — same per-core ratio at
         # every level so the N vs 4N comparison stays apples-to-apples
         .config("spark.sql.shuffle.partitions", str(cores * 4))
+        # shuffle codec: on this VM shuffle spills land on tmpfs, so
+        # shuffle bytes ARE memory-controller traffic — a denser codec
+        # trades per-core CPU for bandwidth. Measured same-window A/B at
+        # 1M docs: zstd beats lz4 at BOTH pinned levels (8c 152.8 ->
+        # 133.7 s, 2c 371.5 -> 353.7 s), so it is the default here;
+        # override with QS_SHUFFLE_CODEC for A/B runs.
+        .config("spark.io.compression.codec",
+                os.environ.get("QS_SHUFFLE_CODEC", "zstd"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.local.dir", "/dev/shm/spark-local")
