@@ -64,12 +64,15 @@ def tokenize_py(text: str) -> list[str]:
     return re.findall(TOKEN_RE, (text or "").lower())
 
 
-def make_term_tf_udf(fields: tuple[str, ...]):
-    """Arrow UDF computing each doc's field-namespaced (terms[], tfs[]) in
-    one batch-vectorized pass — tokenize + count INSIDE the batch, so the
-    build explodes unique pairs directly and skips the
-    groupBy(term, doc).count() shuffle entirely (~40% fewer shuffled rows,
-    one less stage barrier).
+def batch_doc_term_tfs(fields: tuple[str, ...], cols):
+    """Batch-vectorized tokenize + per-doc term-frequency count.
+
+    ``cols`` are pandas Series (one per field, call order = ``fields``).
+    Returns flattened parallel arrays ``(doc_idx, terms, tfs)`` — one entry
+    per unique (doc, field-namespaced term) pair in the batch, sorted
+    stable by ``doc_idx``. Shared by the exploding ``make_term_tf_udf``
+    (the two-phase build) and the packed-partial wave path, so both build
+    modes count terms through the identical code.
 
     Counting is C-speed: per field, flatten the batch's token lists,
     `pd.factorize` to int codes, then one `np.unique` over the combined
@@ -77,53 +80,72 @@ def make_term_tf_udf(fields: tuple[str, ...]):
     ~26 us/token and made this UDF the whole build's bottleneck — python
     time, invisible to JVM CPU metrics.)
 
-    ``fields`` are column names in call order; a field named ``lang`` is
-    taken verbatim as a single term, the rest are tokenized.
+    A field named ``lang`` is taken verbatim as a single term, the rest
+    are tokenized.
+    """
+    import numpy as np
+
+    n = len(cols[0])
+    # accumulated unique (doc, term, tf) triples across fields
+    all_docs, all_terms, all_tfs = [], [], []
+    for fname, col in zip(fields, cols):
+        filled = col.fillna("")
+        if fname == "lang":
+            # empty/NULL lang emits no term (parity with _terms_col)
+            mask = (filled != "").to_numpy()
+            if mask.any():
+                idxs = np.nonzero(mask)[0].astype(np.int64)
+                all_docs.append(idxs)
+                all_terms.append(
+                    ("lang\x01" + filled[mask]).to_numpy(dtype=object))
+                all_tfs.append(np.ones(len(idxs), dtype=np.int64))
+            continue
+        found = filled.str.lower().str.findall(TOKEN_RE)
+        lens = found.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in found if x])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes, uniques = pd.factorize(flat)
+        v = len(uniques)
+        key = doc_idx * v + codes
+        uk, counts = np.unique(key, return_counts=True)
+        all_docs.append(uk // v)
+        all_terms.append(
+            (fname + "\x01" + pd.Index(uniques)).to_numpy(
+                dtype=object)[uk % v])
+        all_tfs.append(counts.astype(np.int64))
+    if not all_docs:
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=object), z
+    docs = np.concatenate(all_docs)
+    terms = np.concatenate(all_terms)
+    tfs = np.concatenate(all_tfs)
+    order = np.argsort(docs, kind="stable")
+    return docs[order], terms[order], tfs[order]
+
+
+def make_term_tf_udf(fields: tuple[str, ...]):
+    """Arrow UDF computing each doc's field-namespaced (terms[], tfs[]) in
+    one batch-vectorized pass — tokenize + count INSIDE the batch, so the
+    build explodes unique pairs directly and skips the
+    groupBy(term, doc).count() shuffle entirely (~40% fewer shuffled rows,
+    one less stage barrier). Counting shared with the packed wave path via
+    :func:`batch_doc_term_tfs`.
+
+    ``fields`` are column names in call order.
     """
     import numpy as np
 
     @F.pandas_udf("struct<terms:array<string>,tfs:array<int>>")
     def term_tf(*cols: pd.Series) -> pd.DataFrame:
         n = len(cols[0])
-        # accumulated unique (doc, term, tf) triples across fields
-        all_docs, all_terms, all_tfs = [], [], []
-        for fname, col in zip(fields, cols):
-            filled = col.fillna("")
-            if fname == "lang":
-                # empty/NULL lang emits no term (parity with _terms_col)
-                mask = (filled != "").to_numpy()
-                if mask.any():
-                    idxs = np.nonzero(mask)[0].astype(np.int64)
-                    all_docs.append(idxs)
-                    all_terms.append(
-                        ("lang\x01" + filled[mask]).to_numpy(dtype=object))
-                    all_tfs.append(np.ones(len(idxs), dtype=np.int64))
-                continue
-            found = filled.str.lower().str.findall(TOKEN_RE)
-            lens = found.str.len().to_numpy(dtype=np.int64)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            flat = np.concatenate(
-                [np.asarray(x, dtype=object) for x in found if x])
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-            codes, uniques = pd.factorize(flat)
-            v = len(uniques)
-            key = doc_idx * v + codes
-            uk, counts = np.unique(key, return_counts=True)
-            all_docs.append(uk // v)
-            all_terms.append(
-                (fname + "\x01" + pd.Index(uniques)).to_numpy(
-                    dtype=object)[uk % v])
-            all_tfs.append(counts.astype(np.int64))
-        if not all_docs:
+        docs, terms, tfs = batch_doc_term_tfs(fields, cols)
+        if len(docs) == 0:
             empty = [[] for _ in range(n)]
             return pd.DataFrame({"terms": empty, "tfs": [list(e) for e in empty]})
-        docs = np.concatenate(all_docs)
-        terms = np.concatenate(all_terms)
-        tfs = np.concatenate(all_tfs)
-        order = np.argsort(docs, kind="stable")
-        docs, terms, tfs = docs[order], terms[order], tfs[order]
         bounds = np.searchsorted(docs, np.arange(n + 1, dtype=np.int64))
         return pd.DataFrame({
             "terms": [terms[s:e].tolist() for s, e in zip(bounds, bounds[1:])],

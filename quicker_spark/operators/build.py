@@ -81,6 +81,13 @@ class IndexConfig:
     # unique (term, tf) pairs — one less shuffle stage, ~40% fewer rows.
     # 'explode': pure-Catalyst explode + groupBy().count() (parity path).
     tf_mode: str = "arrow_pairs"
+    # 'packed': single-exchange wave — map-side packed partial posting
+    # blobs, one bucketed shuffle, streaming merge+encode, direct
+    # clustered write (see wave_postings_packed). 'twophase': the
+    # explode -> groupBy collect_list -> encode -> re-exchange-for-write
+    # path (parity reference; also the path `tf_mode` applies to).
+    # Both modes produce bit-identical postings files (tested).
+    wave_mode: str = "packed"
 
     def effective_salts(self) -> int:
         if self.n_salts is not None:
@@ -104,6 +111,7 @@ class IndexConfig:
                                               "lang"))),
             id_col=stats.get("id_col"),
             tf_mode=stats.get("tf_mode", "arrow_pairs"),
+            wave_mode=stats.get("wave_mode", "packed"),
         )
 
 
@@ -239,6 +247,179 @@ def wave_postings(docs_wave: DataFrame, cfg: IndexConfig,
              F.lit(float(avgdl)).alias("avgdl_ref"))
 
 
+# packed-partial rows shuffled by the single-exchange wave: one row per
+# (map-batch, segment, term), the four per-entry streams packed as raw
+# little-endian int64 bytes. 32 B/entry before shuffle compression (the
+# high zero bytes vanish under zstd) and the term string carried once per
+# batch-partial instead of once per posting entry — vs the two-phase
+# path's ~(term + 36 B) per ENTRY row plus a second full exchange of the
+# encoded index for write clustering.
+PARTIAL_SCHEMA = T.StructType([
+    T.StructField("segment_id", T.LongType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("ids_raw", T.BinaryType()),
+    T.StructField("tfs_raw", T.BinaryType()),
+    T.StructField("dls_raw", T.BinaryType()),
+    T.StructField("bits_raw", T.BinaryType()),
+])
+
+# final wave output: identical columns (names, types, order) to the
+# twophase path's written files, so readers cannot tell the modes apart
+WAVE_OUT_SCHEMA = T.StructType(
+    [T.StructField("segment_id", T.LongType()),
+     T.StructField("term", T.StringType())]
+    + POSTINGS_SCHEMA.fields
+    + [T.StructField("avgdl_ref", T.DoubleType())]
+)
+
+
+def _make_pack_iter(fields: tuple[str, ...]):
+    """mapInPandas stage 1 of the packed wave: per Arrow batch, tokenize +
+    count (shared batch_doc_term_tfs), then group the batch's (doc, term)
+    entries by (segment, term) and emit ONE row per group with the entry
+    streams packed as raw int64 bytes. This is the map-side combine of the
+    two-phase merge: every reducer-side object the old path built with
+    ``collect_list`` (JVM struct arrays, GC-heavy) becomes a flat buffer
+    produced C-side, and the term string crosses the shuffle once per
+    batch-partial instead of once per posting entry."""
+    import numpy as np
+
+    from quicker_spark.functions.tokenize import batch_doc_term_tfs
+
+    def pack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            didx, terms, tfs = batch_doc_term_tfs(
+                fields, [pdf[f] for f in fields])
+            if len(didx) == 0:
+                continue
+            seg = pdf["segment_id"].to_numpy(np.int64)[didx]
+            ids = pdf["doc_id"].to_numpy(np.int64)[didx]
+            dls = pdf["doc_len"].to_numpy(np.int64)[didx]
+            bts = pdf["bits_feature"].to_numpy(np.int64)[didx]
+            tcodes, tuniq = pd.factorize(terms)
+            scodes, suniq = pd.factorize(seg)
+            v = len(tuniq)
+            key = scodes.astype(np.int64) * v + tcodes
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            starts = np.nonzero(np.r_[True, key_s[1:] != key_s[:-1]])[0]
+            ends = np.r_[starts[1:], len(key_s)]
+            ids, tfs = ids[order], tfs[order].astype(np.int64)
+            dls, bts = dls[order], bts[order]
+            ks = key_s[starts]
+            yield pd.DataFrame({
+                "segment_id": np.asarray(suniq)[(ks // v)].astype(np.int64),
+                "term": np.asarray(tuniq, dtype=object)[(ks % v)],
+                "ids_raw": [ids[s:e].tobytes() for s, e in zip(starts, ends)],
+                "tfs_raw": [tfs[s:e].tobytes() for s, e in zip(starts, ends)],
+                "dls_raw": [dls[s:e].tobytes() for s, e in zip(starts, ends)],
+                "bits_raw": [bts[s:e].tobytes() for s, e in zip(starts, ends)],
+            })
+
+    return pack
+
+
+def _make_merge_encode_iter(avgdl: float, k1: float, b: float,
+                            block_size: int):
+    """mapInPandas stage 2 of the packed wave: input partitions are
+    clustered by (segment, term-bucket) and SORTED by (segment, term), so
+    a linear walk sees each (segment, term) group contiguously. Groups are
+    flushed batch-by-batch (memory stays at Arrow-batch scale; only the
+    group straddling a batch boundary is carried), concatenated from their
+    raw partial buffers, and block-encoded via encode_postings_batch —
+    whose per-run doc_id lexsort makes the output bytes independent of
+    partial arrival order. Emission preserves the sorted term order, so
+    the written files keep the row-group term pruning the query path
+    relies on."""
+    import numpy as np
+
+    names = [f.name for f in POSTINGS_SCHEMA.fields]
+
+    def _enc(groups):
+        rows = encode_postings_batch(
+            [g[2] for g in groups], [g[3] for g in groups],
+            [g[4] for g in groups], [g[5] for g in groups],
+            avgdl, k1, b, block_size)
+        df = pd.DataFrame(rows, columns=names)
+        df.insert(0, "term", pd.Series([g[1] for g in groups], dtype=object))
+        df.insert(0, "segment_id",
+                  np.array([g[0] for g in groups], dtype=np.int64))
+        df["avgdl_ref"] = float(avgdl)
+        return df
+
+    def merge(batches):
+        carry_key = None   # (segment_id, term) of the still-open group
+        carry = None       # 4 lists of raw-buffer chunks for that group
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segs = pdf["segment_id"].to_numpy(np.int64)
+            terms = pdf["term"].to_numpy(object)
+            change = np.r_[True, (segs[1:] != segs[:-1])
+                           | (terms[1:] != terms[:-1])]
+            starts = np.nonzero(change)[0]
+            ends = np.r_[starts[1:], len(pdf)]
+            bufs = [pdf[c].to_numpy(object)
+                    for c in ("ids_raw", "tfs_raw", "dls_raw", "bits_raw")]
+            complete = []
+            for s, e in zip(starts, ends):
+                k = (int(segs[s]), terms[s])
+                chunks = [[np.frombuffer(bb, dtype=np.int64)
+                           for bb in bufs[j][s:e]] for j in range(4)]
+                if carry_key == k:
+                    for j in range(4):
+                        carry[j].extend(chunks[j])
+                else:
+                    if carry_key is not None:
+                        complete.append((carry_key, carry))
+                    carry_key, carry = k, chunks
+            if complete:
+                yield _enc([(ck[0], ck[1],
+                             *[np.concatenate(c) for c in cv])
+                            for ck, cv in complete])
+        if carry_key is not None:
+            yield _enc([(carry_key[0], carry_key[1],
+                         *[np.concatenate(c) for c in carry])])
+
+    return merge
+
+
+def wave_postings_packed(docs_wave: DataFrame, cfg: IndexConfig,
+                         avgdl: float, n_buckets: int) -> DataFrame:
+    """Single-exchange posting build for one wave (cfg.wave_mode='packed').
+
+    Pipeline: map-side packed partials (phase 1 of the skew-defeating
+    two-phase merge — every partial is bounded by the Arrow batch) -> ONE
+    hash exchange on (segment, term-bucket) -> spillable in-partition sort
+    by (segment, term) -> streaming merge+encode -> the result is already
+    clustered for the partitioned write, term-sorted within files.
+
+    vs the twophase path this deletes: the JVM collect_list aggregation
+    (object hash agg + GC over millions of struct arrays), the four
+    array<struct> transforms, and the SECOND full exchange that
+    re-clustered the encoded index for writing — on the measured 1M-doc
+    build the wave moved every posting byte through the shuffle machinery
+    twice and was memory-bandwidth-bound at 8 cores (BENCH.md round 4).
+    Hot-term bound: one (segment, term) run materializes at most seg_docs
+    entries (~32 B raw each) inside the encoder — the same bound the old
+    merge stage had after flattening its salted partials.
+    """
+    pack = _make_pack_iter(cfg.fields)
+    partial = docs_wave.select(
+        "segment_id", "doc_id", "doc_len", "bits_feature",
+        *[F.col(f) for f in cfg.fields if f not in
+          ("segment_id", "doc_id", "doc_len", "bits_feature")],
+    ).mapInPandas(pack, PARTIAL_SCHEMA)
+    merge = _make_merge_encode_iter(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    return (partial
+            .repartition(F.col("segment_id"),
+                         F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))))
+            .sortWithinPartitions("segment_id", "term")
+            .mapInPandas(merge, WAVE_OUT_SCHEMA))
+
+
 def _success(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -276,24 +457,31 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         & F.col("segment_id").isin(segs)
     )
-    post = wave_postings(docs_wave, cfg, avgdl)
-    # cluster by segment before the write — a few term-hash-salted files
-    # per segment directory (each file stays term-sorted through the
-    # split, so row-group pruning is intact), not one file per
-    # (task x segment) combination. Salt sizing: the clustered exchange
-    # runs at min(distinct keys, shuffle partitions) tasks, so target
-    # ~3 keys per SHUFFLE PARTITION — sizing off defaultParallelism
-    # under-fills the write stage whenever segments are few and large
-    # (measured: a 5-segment 1M-doc wave at 8 cores ran its
-    # sort+compress+write at ~half occupancy and broke the 2->8 build
-    # scaling; at 2 cores the loss was invisible, masking it locally)
+    # bucket/salt sizing: the clustered exchange runs at
+    # min(distinct keys, shuffle partitions) tasks, so target ~3 keys per
+    # SHUFFLE PARTITION — sizing off defaultParallelism under-fills the
+    # stage whenever segments are few and large (measured: a 5-segment
+    # 1M-doc wave at 8 cores ran its sort+compress+write at ~half
+    # occupancy and broke the 2->8 build scaling; at 2 cores the loss was
+    # invisible, masking it locally)
     par = spark.sparkContext.defaultParallelism
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
     n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
-    writer = (post.repartition(F.col("segment_id"),
-                               F.pmod(F.xxhash64("term"), F.lit(n_salt)))
-              .sortWithinPartitions("term")
-              .write.mode("overwrite").partitionBy("segment_id"))
+    if cfg.wave_mode == "packed":
+        # single-exchange wave: output is already clustered by
+        # (segment, term-bucket) and term-sorted — write it directly
+        post = wave_postings_packed(docs_wave, cfg, avgdl, n_salt)
+        writer = post.write.mode("overwrite").partitionBy("segment_id")
+    else:
+        post = wave_postings(docs_wave, cfg, avgdl)
+        # cluster by segment before the write — a few term-hash-salted
+        # files per segment directory (each file stays term-sorted through
+        # the split, so row-group pruning is intact), not one file per
+        # (task x segment) combination
+        writer = (post.repartition(F.col("segment_id"),
+                                   F.pmod(F.xxhash64("term"), F.lit(n_salt)))
+                  .sortWithinPartitions("term")
+                  .write.mode("overwrite").partitionBy("segment_id"))
     if rebuild_segs is None:
         writer.parquet(wave_dir)
     else:
@@ -401,6 +589,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             "block_size": cfg.block_size, "fields": list(cfg.fields),
             "n_salts": cfg.effective_salts(), "wave_segments": cfg.wave_segments,
             "id_col": cfg.id_col, "tf_mode": cfg.tf_mode,
+            "wave_mode": cfg.wave_mode,
             "format": INDEX_FORMAT,
         }
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0
