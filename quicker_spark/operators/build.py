@@ -1,22 +1,27 @@
-"""Index build: salted two-phase posting construction, checkpointed waves.
+"""Index build: two-phase posting construction, checkpointed waves.
 
-Dataflow per wave of segments (each stage is a DataFrame op — Catalyst
-plans it, AQE handles runtime sizing):
+Default dataflow per wave (``wave_mode='packed'`` — single exchange):
 
-1. explode field-namespaced terms from the forward index rows
-2. ``groupBy(segment, term, doc).count()`` -> term frequencies
-   (map-side partial aggregation; key includes doc_id so it cannot skew)
-3. **salted partial lists**: ``groupBy(segment, term, salt)`` with
-   ``salt = doc_id % n_salts`` -> sorted partial posting arrays. This is
-   the skew-defeating two-phase merge the north rule mandates: a hot term
-   ("def" lands in >30% of docs) is split across ``n_salts`` reducers
-   instead of hammering one.
-4. **merge**: ``groupBy(segment, term)`` over the ≤ n_salts partial arrays,
-   ``sort_array(flatten(...))`` -> the segment's full sorted posting run
-   (bounded by seg_docs, so no single reducer ever sees more than one
-   segment's worth of one term).
-5. encode to the block-compressed layout (Arrow pandas UDF over aligned
-   primitive arrays — no per-row Python).
+1. one Arrow pass over the forward-index rows: tokenize + count each
+   batch (batch_doc_term_tfs), group the batch's entries by
+   (segment, term), emit packed int64 buffers — the MAP-SIDE COMBINE of
+   the skew-defeating two-phase merge the north rule mandates (a hot
+   term's work arrives as many bounded batch-partials, never one
+   planet-sized row)
+2. ONE hash exchange on (segment, term-bucket) + a spillable
+   in-partition sort by (segment, term)
+3. streaming merge+encode (mapInPandas): concatenate each contiguous
+   group, block-encode it, and the output is already clustered and
+   term-sorted for the direct partitioned write
+
+The ``wave_mode='twophase'`` parity path keeps the original
+explode -> groupBy(term, doc) -> salted collect_list partials ->
+flatten merge -> encode -> re-exchange-for-write pipeline; both modes
+write bit-identical postings files (tests/test_wave_modes.py). packed
+deletes the JVM object aggregation and the SECOND full exchange of the
+encoded index, which made the wave memory-bandwidth-bound at 8 pinned
+cores (BENCH.md round 4: back-to-back 200k-doc local[8] A/B, wave
+45.6s -> 19.6s).
 
 Segmentation itself is the coarse salt: a term's GLOBAL posting list is
 partitioned across segments by doc_id range (the reference shards docs
