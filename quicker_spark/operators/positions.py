@@ -13,11 +13,28 @@ serve it, and the same segment-granular maintenance keeps it consistent:
 delete/upsert touched (maintain._commit calls it whenever the sidecar
 exists).
 
-Scale shape mirrors the main build: tokenise + posexplode is map-side,
-per-(term, doc) position lists aggregate with one shuffle, hot terms go
-through the same salted two-phase merge as the postings build
-(IndexConfig.effective_salts), and the writer clusters by segment with a
-term-hash salt so parallelism tracks the cluster, not the wave width.
+Scale shape mirrors the main build, mode for mode
+(IndexConfig.wave_mode, read from the index's own stats.json so the
+sidecar always builds the way its index did):
+
+- ``packed`` (default): ONE exchange. A map-side Arrow pass tokenizes
+  each batch, groups its occurrences by (segment, term), and emits
+  packed int64 buffers — doc ids / tfs / dls / bits plus the flat
+  ascending-per-doc position stream. One hash exchange on
+  (segment, term-bucket), a spillable in-partition sort by
+  (segment, term), then a streaming merge+encode whose output is
+  already clustered and term-sorted for the partitioned write. This
+  matters MORE here than for the main postings: the two-phase path
+  shuffles one row per TOKEN OCCURRENCE (the heaviest shuffle in the
+  repo — ~10 rows per posting entry at code-corpus tf), while packed
+  partials carry a term string once per batch-partial and 8 B per
+  occurrence.
+- ``twophase``: the parity path — tokenise + posexplode map-side,
+  per-(term, doc) position lists aggregated with one shuffle, hot
+  terms through the same salted two-phase merge as the postings build
+  (IndexConfig.effective_salts), a second exchange clusters for the
+  write. Both modes write bit-identical positions files
+  (tests/test_wave_modes.py).
 """
 
 from __future__ import annotations
@@ -25,6 +42,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -119,6 +137,198 @@ def wave_positions(docs_wave: DataFrame, cfg: IndexConfig,
     ).select("segment_id", "term", "e.*")
 
 
+# packed-partial rows for the single-exchange positions wave: one row per
+# (map-batch, segment, term); ids/tfs/dls/bits are per-DOC parallel int64
+# streams, pos is the flat per-OCCURRENCE position stream concatenated in
+# the same doc order (each doc's slice ascending). The term string crosses
+# the shuffle once per batch-partial instead of once per token occurrence.
+POS_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("segment_id", T.LongType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("ids_raw", T.BinaryType()),
+    T.StructField("tfs_raw", T.BinaryType()),
+    T.StructField("dls_raw", T.BinaryType()),
+    T.StructField("bits_raw", T.BinaryType()),
+    T.StructField("pos_raw", T.BinaryType()),
+])
+
+# identical columns (names, types, order) to the twophase path's written
+# files, so readers cannot tell the modes apart
+POS_WAVE_OUT_SCHEMA = T.StructType(
+    [T.StructField("segment_id", T.LongType()),
+     T.StructField("term", T.StringType())]
+    + POSITIONS_STRUCT.fields
+)
+
+
+def _make_pos_pack_iter(fields):
+    """mapInPandas stage 1 of the packed positions wave: per Arrow batch,
+    tokenize each field (same ``TOKEN_RE`` spec as tokenize_col — the two
+    produce identical arrays, tested), record each occurrence's ordinal in
+    ITS FIELD's token array, group the batch's occurrences by
+    (segment, term) and emit one packed-buffer row per group. Positions
+    inside a (doc, term) group stay ascending because the group key sort
+    is stable and a field's occurrences arrive in token order (terms are
+    field-namespaced, so a group never crosses fields)."""
+    import numpy as np
+
+    from quicker_spark.functions.tokenize import TOKEN_RE
+
+    def pack(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            occ_docs, occ_terms, occ_pos = [], [], []
+            for fname in fields:
+                found = pdf[fname].fillna("").str.lower().str.findall(
+                    TOKEN_RE)
+                lens = found.str.len().to_numpy(np.int64)
+                total = int(lens.sum())
+                if total == 0:
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=object) for x in found if x])
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                occ_docs.append(np.repeat(np.arange(n, dtype=np.int64),
+                                          lens))
+                occ_terms.append(
+                    (fname + "\x01" + pd.Index(flat)).to_numpy(dtype=object))
+                occ_pos.append(np.arange(total, dtype=np.int64)
+                               - np.repeat(starts, lens))
+            if not occ_docs:
+                continue
+            docs = np.concatenate(occ_docs)
+            terms = np.concatenate(occ_terms)
+            pos = np.concatenate(occ_pos)
+            tcodes, tuniq = pd.factorize(terms)
+            scodes_doc, suniq = pd.factorize(
+                pdf["segment_id"].to_numpy(np.int64))
+            v = len(tuniq)
+            # occurrence sort key (seg, term, doc); stable -> per-group
+            # positions keep token order (ascending)
+            key = ((scodes_doc[docs].astype(np.int64) * v + tcodes) * n
+                   + docs)
+            order = np.argsort(key, kind="stable")
+            key_s, docs_s, pos_s = key[order], docs[order], pos[order]
+            # (seg, term, doc) entry boundaries over occurrences
+            d_starts = np.nonzero(np.r_[True, key_s[1:] != key_s[:-1]])[0]
+            d_ends = np.r_[d_starts[1:], len(key_s)]
+            tf = d_ends - d_starts
+            entry_doc = docs_s[d_starts]
+            e_ids = pdf["doc_id"].to_numpy(np.int64)[entry_doc]
+            e_dls = pdf["doc_len"].to_numpy(np.int64)[entry_doc]
+            e_bts = pdf["bits_feature"].to_numpy(np.int64)[entry_doc]
+            # (seg, term) row boundaries over entries
+            rkey = key_s[d_starts] // n
+            r_starts = np.nonzero(np.r_[True, rkey[1:] != rkey[:-1]])[0]
+            r_ends = np.r_[r_starts[1:], len(rkey)]
+            rk = rkey[r_starts]
+            yield pd.DataFrame({
+                "segment_id":
+                    np.asarray(suniq)[(rk // v)].astype(np.int64),
+                "term": np.asarray(tuniq, dtype=object)[(rk % v)],
+                "ids_raw": [e_ids[s:e].tobytes()
+                            for s, e in zip(r_starts, r_ends)],
+                "tfs_raw": [tf[s:e].tobytes()
+                            for s, e in zip(r_starts, r_ends)],
+                "dls_raw": [e_dls[s:e].tobytes()
+                            for s, e in zip(r_starts, r_ends)],
+                "bits_raw": [e_bts[s:e].tobytes()
+                             for s, e in zip(r_starts, r_ends)],
+                "pos_raw": [pos_s[d_starts[s]:d_ends[e - 1]].tobytes()
+                            for s, e in zip(r_starts, r_ends)],
+            })
+
+    return pack
+
+
+def _make_pos_merge_encode_iter():
+    """mapInPandas stage 2: input partitions are clustered by
+    (segment, term-bucket) and SORTED by (segment, term); walk the
+    contiguous groups, concatenate each group's raw partial buffers, and
+    encode via encode_positions_batch — whose per-run doc_id lexsort (and
+    the matching gather of the flat position stream) makes the output
+    bytes independent of partial arrival order. Same carry discipline as
+    build._make_merge_encode_iter: memory stays at Arrow-batch scale."""
+    import numpy as np
+
+    buf_cols = ("ids_raw", "tfs_raw", "dls_raw", "bits_raw", "pos_raw")
+
+    def _enc(groups):
+        # groups: (seg, term, ids, tfs, dls, bits, pos) numpy arrays
+        rows = encode_positions_batch(
+            [g[2] for g in groups], [g[4] for g in groups],
+            [g[5] for g in groups], [g[3] for g in groups],
+            [g[6] for g in groups])
+        df = pd.DataFrame(
+            rows, columns=[f.name for f in POSITIONS_STRUCT.fields])
+        df.insert(0, "term", pd.Series([g[1] for g in groups],
+                                       dtype=object))
+        df.insert(0, "segment_id",
+                  np.array([g[0] for g in groups], dtype=np.int64))
+        return df
+
+    def merge(batches):
+        carry_key = None   # (segment_id, term) of the still-open group
+        carry = None       # 5 lists of raw-buffer chunks for that group
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segs = pdf["segment_id"].to_numpy(np.int64)
+            terms = pdf["term"].to_numpy(object)
+            change = np.r_[True, (segs[1:] != segs[:-1])
+                           | (terms[1:] != terms[:-1])]
+            starts = np.nonzero(change)[0]
+            ends = np.r_[starts[1:], len(pdf)]
+            bufs = [pdf[c].to_numpy(object) for c in buf_cols]
+            complete = []
+            for s, e in zip(starts, ends):
+                k = (int(segs[s]), terms[s])
+                chunks = [[np.frombuffer(bb, dtype=np.int64)
+                           for bb in bufs[j][s:e]] for j in range(5)]
+                if carry_key == k:
+                    for j in range(5):
+                        carry[j].extend(chunks[j])
+                else:
+                    if carry_key is not None:
+                        complete.append((carry_key, carry))
+                    carry_key, carry = k, chunks
+            if complete:
+                yield _enc([(ck[0], ck[1],
+                             *[np.concatenate(c) for c in cv])
+                            for ck, cv in complete])
+        if carry_key is not None:
+            yield _enc([(carry_key[0], carry_key[1],
+                         *[np.concatenate(c) for c in carry])])
+
+    return merge
+
+
+def wave_positions_packed(docs_wave: DataFrame, cfg: IndexConfig,
+                          n_buckets: int,
+                          fields=DEFAULT_POSITION_FIELDS) -> DataFrame:
+    """Single-exchange positional build for one wave
+    (cfg.wave_mode='packed'): map-side packed occurrence partials -> ONE
+    hash exchange on (segment, term-bucket) -> spillable in-partition
+    sort -> streaming merge+encode, pre-clustered and term-sorted for the
+    partitioned write. Deletes the per-token-occurrence shuffle row, the
+    JVM collect_list of position structs, and the second full exchange of
+    the encoded sidecar."""
+    pack = _make_pos_pack_iter(tuple(fields))
+    partial = docs_wave.select(
+        "segment_id", "doc_id", "doc_len", "bits_feature",
+        *[F.col(f) for f in fields],
+    ).mapInPandas(pack, POS_PARTIAL_SCHEMA)
+    merge = _make_pos_merge_encode_iter()
+    return (partial
+            .repartition(F.col("segment_id"),
+                         F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))))
+            .sortWithinPartitions("segment_id", "term")
+            .mapInPandas(merge, POS_WAVE_OUT_SCHEMA))
+
+
 def write_positions_wave(spark: SparkSession, docs_df: DataFrame,
                          wave: list[int], cfg: IndexConfig, out_dir: str,
                          fields=DEFAULT_POSITION_FIELDS,
@@ -137,16 +347,22 @@ def write_positions_wave(spark: SparkSession, docs_df: DataFrame,
     docs_wave = docs_df.filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         & F.col("segment_id").isin(segs))
-    rows = wave_positions(docs_wave, cfg, fields)
     # same occupancy-targeted salt law as build.write_wave: ~3 keys per
     # shuffle partition so the clustered write never under-fills slots
     par = spark.sparkContext.defaultParallelism
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
     n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
-    writer = (rows.repartition(F.col("segment_id"),
-                               F.pmod(F.xxhash64("term"), F.lit(n_salt)))
-              .sortWithinPartitions("term")
-              .write.mode("overwrite").partitionBy("segment_id"))
+    if cfg.wave_mode == "packed":
+        # single-exchange wave: output is already clustered by
+        # (segment, term-bucket) and term-sorted — write it directly
+        rows = wave_positions_packed(docs_wave, cfg, n_salt, fields)
+        writer = rows.write.mode("overwrite").partitionBy("segment_id")
+    else:
+        rows = wave_positions(docs_wave, cfg, fields)
+        writer = (rows.repartition(F.col("segment_id"),
+                                   F.pmod(F.xxhash64("term"), F.lit(n_salt)))
+                  .sortWithinPartitions("term")
+                  .write.mode("overwrite").partitionBy("segment_id"))
     if rebuild_segs is None:
         writer.parquet(wave_dir)
     else:
