@@ -253,15 +253,22 @@ def wave_postings(docs_wave: DataFrame, cfg: IndexConfig,
 
 
 # packed-partial rows shuffled by the single-exchange wave: one row per
-# (map-batch, segment, term), the four per-entry streams packed as raw
-# little-endian int64 bytes. 32 B/entry before shuffle compression (the
-# high zero bytes vanish under zstd) and the term string carried once per
-# batch-partial instead of once per posting entry — vs the two-phase
-# path's ~(term + 36 B) per ENTRY row plus a second full exchange of the
-# encoded index for write clustering.
+# (map-batch, segment, term), the four per-entry streams delta+varbyte
+# encoded map-side (~5-6 B/entry: ids as a per-partial restarting delta
+# chain, tf/dl/bits plain varbyte) with `n` carrying the entry count so
+# the merge side can batch-decode without walking buffers. The term
+# string is carried once per batch-partial instead of once per posting
+# entry. vs raw int64 buffers (32 B/entry) this cuts the bytes every
+# wave byte crosses — shuffle write/read AND the in-partition sort's
+# memory passes — ~5x; on the pinned scaling rig the wave is
+# memory-bandwidth-bound at 8 cores, so payload bytes are the scaling
+# limiter, not CPU. (Non-monotonic ids at an input-file boundary wrap
+# the uint64 delta; the merge's mod-2^64 cumsum restores them exactly,
+# at worst a rare 10-byte varbyte.)
 PARTIAL_SCHEMA = T.StructType([
     T.StructField("segment_id", T.LongType()),
     T.StructField("term", T.StringType()),
+    T.StructField("n", T.IntegerType()),
     T.StructField("ids_raw", T.BinaryType()),
     T.StructField("tfs_raw", T.BinaryType()),
     T.StructField("dls_raw", T.BinaryType()),
@@ -289,6 +296,7 @@ def _make_pack_iter(fields: tuple[str, ...]):
     batch-partial instead of once per posting entry."""
     import numpy as np
 
+    from quicker_spark.functions.codec import varbyte_encode_with_counts
     from quicker_spark.functions.tokenize import batch_doc_term_tfs
 
     def pack(batches):
@@ -314,13 +322,32 @@ def _make_pack_iter(fields: tuple[str, ...]):
             ids, tfs = ids[order], tfs[order].astype(np.int64)
             dls, bts = dls[order], bts[order]
             ks = key_s[starts]
+            total = len(ids)
+            # ids: delta chain restarting (absolute) at each partial's
+            # first entry; tf/dl/bits plain varbyte. ONE encode pass per
+            # stream per batch, per-partial slices via byte-offset cumsum
+            # (the same batching discipline as encode_postings_batch).
+            is_start = np.zeros(total, dtype=bool)
+            is_start[starts] = True
+            prev = np.empty(total, dtype=np.int64)
+            prev[0] = 0
+            prev[1:] = ids[:-1]
+            id_deltas = np.where(is_start, ids, ids - prev).astype(np.uint64)
+            sliced = {}
+            for name, vals in (("ids_raw", id_deltas),
+                               ("tfs_raw", tfs.astype(np.uint64)),
+                               ("dls_raw", dls.astype(np.uint64)),
+                               ("bits_raw", bts.astype(np.uint64))):
+                buf, nb = varbyte_encode_with_counts(vals)
+                cum = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(nb, out=cum[1:])
+                sliced[name] = [buf[cum[s]:cum[e]]
+                                for s, e in zip(starts, ends)]
             yield pd.DataFrame({
                 "segment_id": np.asarray(suniq)[(ks // v)].astype(np.int64),
                 "term": np.asarray(tuniq, dtype=object)[(ks % v)],
-                "ids_raw": [ids[s:e].tobytes() for s, e in zip(starts, ends)],
-                "tfs_raw": [tfs[s:e].tobytes() for s, e in zip(starts, ends)],
-                "dls_raw": [dls[s:e].tobytes() for s, e in zip(starts, ends)],
-                "bits_raw": [bts[s:e].tobytes() for s, e in zip(starts, ends)],
+                "n": (ends - starts).astype(np.int32),
+                **sliced,
             })
 
     return pack
@@ -332,8 +359,9 @@ def _make_merge_encode_iter(avgdl: float, k1: float, b: float,
     clustered by (segment, term-bucket) and SORTED by (segment, term), so
     a linear walk sees each (segment, term) group contiguously. Groups are
     flushed batch-by-batch (memory stays at Arrow-batch scale; only the
-    group straddling a batch boundary is carried), concatenated from their
-    raw partial buffers, and block-encoded via encode_postings_batch —
+    group straddling a batch boundary is carried), batch-decoded from
+    their varbyte partial buffers (one decode pass per stream per Arrow
+    batch), and block-encoded via encode_postings_batch —
     whose per-run doc_id lexsort makes the output bytes independent of
     partial arrival order. Emission preserves the sorted term order, so
     the written files keep the row-group term pruning the query path
@@ -355,8 +383,10 @@ def _make_merge_encode_iter(avgdl: float, k1: float, b: float,
         return df
 
     def merge(batches):
+        from quicker_spark.functions.codec import varbyte_decode
+
         carry_key = None   # (segment_id, term) of the still-open group
-        carry = None       # 4 lists of raw-buffer chunks for that group
+        carry = None       # 4 lists of decoded value-chunk arrays
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -366,13 +396,29 @@ def _make_merge_encode_iter(avgdl: float, k1: float, b: float,
                            | (terms[1:] != terms[:-1])]
             starts = np.nonzero(change)[0]
             ends = np.r_[starts[1:], len(pdf)]
-            bufs = [pdf[c].to_numpy(object)
+            # batch decode: ONE varbyte pass per stream over the whole
+            # Arrow batch (varbyte streams are self-delimiting, so the
+            # concatenation decodes to the concatenated values), then
+            # per-partial numpy views via the `n` entry counts
+            n_arr = pdf["n"].to_numpy(np.int64)
+            vstarts = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(n_arr, out=vstarts[1:])
+            vals = [varbyte_decode(b"".join(pdf[c].tolist()))
                     for c in ("ids_raw", "tfs_raw", "dls_raw", "bits_raw")]
+            # ids: per-partial restarting delta chains -> absolutes via
+            # mod-2^64 cumsum minus each partial's preceding sum (exact
+            # even for wrapped negative deltas at input-file boundaries)
+            dcum = np.cumsum(vals[0], dtype=np.uint64)
+            base = np.zeros(len(pdf), dtype=np.uint64)
+            nz = vstarts[:-1] > 0
+            base[nz] = dcum[vstarts[:-1][nz] - 1]
+            streams = [(dcum - np.repeat(base, n_arr)).astype(np.int64)] + \
+                [v.astype(np.int64) for v in vals[1:]]
             complete = []
             for s, e in zip(starts, ends):
                 k = (int(segs[s]), terms[s])
-                chunks = [[np.frombuffer(bb, dtype=np.int64)
-                           for bb in bufs[j][s:e]] for j in range(4)]
+                chunks = [[streams[j][vstarts[r]:vstarts[r + 1]]
+                           for r in range(s, e)] for j in range(4)]
                 if carry_key == k:
                     for j in range(4):
                         carry[j].extend(chunks[j])

@@ -138,13 +138,19 @@ def wave_positions(docs_wave: DataFrame, cfg: IndexConfig,
 
 
 # packed-partial rows for the single-exchange positions wave: one row per
-# (map-batch, segment, term); ids/tfs/dls/bits are per-DOC parallel int64
-# streams, pos is the flat per-OCCURRENCE position stream concatenated in
-# the same doc order (each doc's slice ascending). The term string crosses
-# the shuffle once per batch-partial instead of once per token occurrence.
+# (map-batch, segment, term); ids/tfs/dls/bits are per-DOC parallel
+# streams, pos the flat per-OCCURRENCE position stream in the same doc
+# order (each doc's slice ascending). All five are delta+varbyte encoded
+# map-side (ids restart per partial, positions restart per doc — the
+# stored sidecar's own chain discipline), with `n` carrying the entry
+# count so the merge batch-decodes without walking buffers. The term
+# string crosses the shuffle once per batch-partial instead of once per
+# token occurrence, and each occurrence costs ~1-2 B instead of 8 B raw
+# — payload bytes are what the bandwidth-bound wave pays for.
 POS_PARTIAL_SCHEMA = T.StructType([
     T.StructField("segment_id", T.LongType()),
     T.StructField("term", T.StringType()),
+    T.StructField("n", T.IntegerType()),
     T.StructField("ids_raw", T.BinaryType()),
     T.StructField("tfs_raw", T.BinaryType()),
     T.StructField("dls_raw", T.BinaryType()),
@@ -172,6 +178,7 @@ def _make_pos_pack_iter(fields):
     field-namespaced, so a group never crosses fields)."""
     import numpy as np
 
+    from quicker_spark.functions.codec import varbyte_encode_with_counts
     from quicker_spark.functions.tokenize import TOKEN_RE
 
     def pack(batches):
@@ -225,19 +232,45 @@ def _make_pos_pack_iter(fields):
             r_starts = np.nonzero(np.r_[True, rkey[1:] != rkey[:-1]])[0]
             r_ends = np.r_[r_starts[1:], len(rkey)]
             rk = rkey[r_starts]
+            # delta+varbyte: ids restart per partial row, positions
+            # restart per doc entry; tf/dl/bits plain varbyte. One encode
+            # pass per stream per batch, slices via byte-offset cumsums.
+            n_entries = len(tf)
+            is_rstart = np.zeros(n_entries, dtype=bool)
+            is_rstart[r_starts] = True
+            prev = np.empty(n_entries, dtype=np.int64)
+            prev[0] = 0
+            prev[1:] = e_ids[:-1]
+            id_deltas = np.where(is_rstart, e_ids,
+                                 e_ids - prev).astype(np.uint64)
+            n_occ = len(pos_s)
+            is_dstart = np.zeros(n_occ, dtype=bool)
+            is_dstart[d_starts] = True
+            pprev = np.empty(n_occ, dtype=np.int64)
+            pprev[0] = 0
+            pprev[1:] = pos_s[:-1]
+            pos_deltas = np.where(is_dstart, pos_s,
+                                  pos_s - pprev).astype(np.uint64)
+            sliced = {}
+            for name, vals in (("ids_raw", id_deltas),
+                               ("tfs_raw", tf.astype(np.uint64)),
+                               ("dls_raw", e_dls.astype(np.uint64)),
+                               ("bits_raw", e_bts.astype(np.uint64))):
+                buf, nb = varbyte_encode_with_counts(vals)
+                cum = np.zeros(n_entries + 1, dtype=np.int64)
+                np.cumsum(nb, out=cum[1:])
+                sliced[name] = [buf[cum[s]:cum[e]]
+                                for s, e in zip(r_starts, r_ends)]
+            pbuf, pnb = varbyte_encode_with_counts(pos_deltas)
+            pcum = np.zeros(n_occ + 1, dtype=np.int64)
+            np.cumsum(pnb, out=pcum[1:])
             yield pd.DataFrame({
                 "segment_id":
                     np.asarray(suniq)[(rk // v)].astype(np.int64),
                 "term": np.asarray(tuniq, dtype=object)[(rk % v)],
-                "ids_raw": [e_ids[s:e].tobytes()
-                            for s, e in zip(r_starts, r_ends)],
-                "tfs_raw": [tf[s:e].tobytes()
-                            for s, e in zip(r_starts, r_ends)],
-                "dls_raw": [e_dls[s:e].tobytes()
-                            for s, e in zip(r_starts, r_ends)],
-                "bits_raw": [e_bts[s:e].tobytes()
-                             for s, e in zip(r_starts, r_ends)],
-                "pos_raw": [pos_s[d_starts[s]:d_ends[e - 1]].tobytes()
+                "n": (r_ends - r_starts).astype(np.int32),
+                **sliced,
+                "pos_raw": [pbuf[pcum[d_starts[s]]:pcum[d_ends[e - 1]]]
                             for s, e in zip(r_starts, r_ends)],
             })
 
@@ -271,8 +304,10 @@ def _make_pos_merge_encode_iter():
         return df
 
     def merge(batches):
+        from quicker_spark.functions.codec import varbyte_decode
+
         carry_key = None   # (segment_id, term) of the still-open group
-        carry = None       # 5 lists of raw-buffer chunks for that group
+        carry = None       # 5 lists of decoded value-chunk arrays
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -282,12 +317,44 @@ def _make_pos_merge_encode_iter():
                            | (terms[1:] != terms[:-1])]
             starts = np.nonzero(change)[0]
             ends = np.r_[starts[1:], len(pdf)]
-            bufs = [pdf[c].to_numpy(object) for c in buf_cols]
+            # batch decode: one varbyte pass per stream per Arrow batch,
+            # then per-partial numpy views via the `n` entry counts
+            n_arr = pdf["n"].to_numpy(np.int64)
+            vstarts = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(n_arr, out=vstarts[1:])
+            vals = [varbyte_decode(b"".join(pdf[c].tolist()))
+                    for c in buf_cols]
+            # ids: per-partial restarting delta chains (mod-2^64 exact)
+            dcum = np.cumsum(vals[0], dtype=np.uint64)
+            base = np.zeros(len(pdf), dtype=np.uint64)
+            nz = vstarts[:-1] > 0
+            base[nz] = dcum[vstarts[:-1][nz] - 1]
+            ids_vals = (dcum - np.repeat(base, n_arr)).astype(np.int64)
+            tfs_vals = vals[1].astype(np.int64)
+            dls_vals = vals[2].astype(np.int64)
+            bts_vals = vals[3].astype(np.int64)
+            # positions: delta chains restarting at each DOC start (every
+            # doc lives inside one partial, so doc-granular restore is
+            # row-independent — same math as decode_positions_row)
+            pcum = np.cumsum(vals[4], dtype=np.uint64)
+            doc_starts = np.zeros(len(tfs_vals) + 1, dtype=np.int64)
+            np.cumsum(tfs_vals, out=doc_starts[1:])
+            pbase = np.zeros(len(tfs_vals), dtype=np.uint64)
+            pnz = doc_starts[:-1] > 0
+            pbase[pnz] = pcum[doc_starts[:-1][pnz] - 1]
+            pos_vals = (pcum - np.repeat(pbase, tfs_vals)).astype(np.int64)
+            # per-partial occurrence boundaries (sum of its docs' tfs)
+            pocc = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(np.add.reduceat(tfs_vals, vstarts[:-1]),
+                      out=pocc[1:])
+            streams = [ids_vals, tfs_vals, dls_vals, bts_vals]
             complete = []
             for s, e in zip(starts, ends):
                 k = (int(segs[s]), terms[s])
-                chunks = [[np.frombuffer(bb, dtype=np.int64)
-                           for bb in bufs[j][s:e]] for j in range(5)]
+                chunks = [[st[vstarts[r]:vstarts[r + 1]]
+                           for r in range(s, e)] for st in streams]
+                chunks.append([pos_vals[pocc[r]:pocc[r + 1]]
+                               for r in range(s, e)])
                 if carry_key == k:
                     for j in range(5):
                         carry[j].extend(chunks[j])
