@@ -438,7 +438,7 @@ def _make_merge_encode_iter(avgdl: float, k1: float, b: float,
 
 
 def wave_postings_packed(docs_wave: DataFrame, cfg: IndexConfig,
-                         avgdl: float, n_buckets: int) -> DataFrame:
+                         avgdl: float) -> DataFrame:
     """Single-exchange posting build for one wave (cfg.wave_mode='packed').
 
     Pipeline: map-side packed partials (phase 1 of the skew-defeating
@@ -464,9 +464,16 @@ def wave_postings_packed(docs_wave: DataFrame, cfg: IndexConfig,
           ("segment_id", "doc_id", "doc_len", "bits_feature")],
     ).mapInPandas(pack, PARTIAL_SCHEMA)
     merge = _make_merge_encode_iter(avgdl, cfg.k1, cfg.b, cfg.block_size)
+    # Exchange on (segment, TERM) directly — the finest unit the merge
+    # can accept (a group must land whole in one partition). Coarser
+    # term-hash buckets measured 2.6x reducer skew at 8 cores (~3 keys
+    # per shuffle partition -> Poisson collision imbalance -> 21 s max
+    # task vs 8 s mean and a 25%-occupancy stage tail, wave_profile.py);
+    # per-term keys give thousands of load units per partition so hash
+    # placement load-averages out. Hot-term safety is unchanged: one
+    # (segment, term) run is bounded by seg_docs entries either way.
     return (partial
-            .repartition(F.col("segment_id"),
-                         F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))))
+            .repartition(F.col("segment_id"), F.col("term"))
             .sortWithinPartitions("segment_id", "term")
             .mapInPandas(merge, WAVE_OUT_SCHEMA))
 
@@ -508,20 +515,18 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
         (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         & F.col("segment_id").isin(segs)
     )
-    # bucket/salt sizing: the clustered exchange runs at
+    # twophase bucket/salt sizing: the clustered exchange runs at
     # min(distinct keys, shuffle partitions) tasks, so target ~3 keys per
     # SHUFFLE PARTITION — sizing off defaultParallelism under-fills the
-    # stage whenever segments are few and large (measured: a 5-segment
-    # 1M-doc wave at 8 cores ran its sort+compress+write at ~half
-    # occupancy and broke the 2->8 build scaling; at 2 cores the loss was
-    # invisible, masking it locally)
+    # stage whenever segments are few and large (the packed path
+    # partitions per-term and needs no salt)
     par = spark.sparkContext.defaultParallelism
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
     n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
     if cfg.wave_mode == "packed":
         # single-exchange wave: output is already clustered by
-        # (segment, term-bucket) and term-sorted — write it directly
-        post = wave_postings_packed(docs_wave, cfg, avgdl, n_salt)
+        # (segment, term) and term-sorted — write it directly
+        post = wave_postings_packed(docs_wave, cfg, avgdl)
         writer = post.write.mode("overwrite").partitionBy("segment_id")
     else:
         post = wave_postings(docs_wave, cfg, avgdl)
@@ -664,6 +669,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         except Exception:
             done = set()
 
+    # Split sizing for the pack stage: the tokenize scan is the wave's
+    # longest python-CPU phase, and at default 128 MB splits a 1M-doc
+    # wave reads as barely more splits than cores (profiled: 9 tasks of
+    # ~80 s on 8 cores — zero headroom for stragglers and a whole-stage
+    # tail if any split runs long). Target ~4 splits per core, floored
+    # at 16 MB so tiny corpora don't fragment; at warehouse scale
+    # docs_bytes/(4*cores) exceeds the 128 MB default and the clamp
+    # keeps Spark's own split size.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    docs_bytes_now = 0
+    for dp, _dn, fns in os.walk(docs_path):
+        docs_bytes_now += sum(os.path.getsize(os.path.join(dp, f))
+                              for f in fns)
+    split = min(128 << 20, max(16 << 20, docs_bytes_now // (4 * par)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(split)))
     docs_df = spark.read.parquet(docs_path)
     todo = [s for s in range(n_segments) if s not in done]
     waves = [todo[i:i + cfg.wave_segments]
@@ -671,9 +691,19 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     if max_waves is not None:
         waves = waves[:max_waves]
 
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     wave_secs: list[float] = []
-    for wave in waves:
-        wave_secs.append(write_wave(spark, docs_df, wave, cfg, avgdl, out_dir))
+    try:
+        for wave in waves:
+            wave_secs.append(
+                write_wave(spark, docs_df, wave, cfg, avgdl, out_dir))
+    finally:
+        # build-local tuning only: don't leak the split size into the
+        # serving session this SparkSession goes on to run
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        else:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     # -- phase 3: global term stats (once everything is manifested)
     t_ts = time.time()
