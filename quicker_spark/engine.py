@@ -34,6 +34,7 @@ from quicker_spark.functions.kernels import (
     score_segment_exhaustive,
     score_segment_wand,
 )
+from quicker_spark.functions.buckets import term_bucket
 from quicker_spark.model import bm25_idf
 from quicker_spark.plans.term_query import NewTermQuery, Or, TermQuery
 
@@ -406,9 +407,26 @@ class SearchEngine:
         return bool(self.lookup([doc_id]).limit(1).take(1))
 
     # -- helpers ------------------------------------------------------------
+    def _bucket_filter(self, df: DataFrame, terms) -> DataFrame:
+        """Partition-prune a bucket-partitioned tree (v5 layout:
+        ``segment_id=S/bucket=B``, bucket = md5(term) % term_buckets) to
+        the query terms' bucket directories — the scan reads
+        ``len(buckets)/term_buckets`` of each segment instead of trusting
+        row-group stats, which cannot discriminate between term-sorted
+        files holding hash-random term subsets. No-op on legacy v4
+        trees (no ``bucket`` partition column / term_buckets absent)."""
+        nb = int(self.stats.get("term_buckets") or 0)
+        if nb > 1 and "bucket" in df.columns:
+            df = df.filter(F.col("bucket").isin(
+                sorted({term_bucket(t, nb) for t in terms})))
+        return df
+
     def _postings_for(self, terms: set[str]) -> DataFrame:
-        # isin pushes down to parquet row groups (postings sorted by term)
-        return self.postings.filter(F.col("term").isin(list(terms)))
+        # bucket partition pruning first (directory-level), then the term
+        # IN-filter prunes row groups within the bucket files (each file
+        # is term-sorted)
+        return (self._bucket_filter(self.postings, terms)
+                .filter(F.col("term").isin(list(terms))))
 
     # -- search -------------------------------------------------------------
     def search(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
@@ -691,8 +709,10 @@ class SearchEngine:
             terms, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, on, off, tuple(or_flags), self.stats["k1"],
             self.stats["b"], gap=int(gap))
-        pos = (self.spark.read
-               .parquet(os.path.join(self.index_dir, "positions"))
+        pos = (self._bucket_filter(
+                   self.spark.read.parquet(
+                       os.path.join(self.index_dir, "positions")),
+                   set(terms))
                .filter(F.col("term").isin(list(set(terms)))))
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(set(terms)))))
@@ -766,8 +786,10 @@ class SearchEngine:
 
         seg_docs = int(self.stats["seg_docs"])
         segs = sorted({int(i) // seg_docs for i in hit_ids})
-        pos_df = (self.spark.read
-                  .parquet(os.path.join(self.index_dir, "positions"))
+        pos_df = (self._bucket_filter(
+                      self.spark.read.parquet(
+                          os.path.join(self.index_dir, "positions")),
+                      terms)
                   .filter(F.col("segment_id").isin(segs))
                   .filter(F.col("term").isin(terms)))
         firsts = (pos_df.groupBy("segment_id")

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from quicker_spark.functions.buckets import N_BUCKETS_DEFAULT, bucket_col
 from quicker_spark.functions.kernels import DEFAULT_BLOCK, encode_postings_batch
 from quicker_spark.io import atomic_write_json
 from quicker_spark.functions.tokenize import (
@@ -63,7 +64,10 @@ from quicker_spark.operators.docs import prepare_docs, release_id_cache
 # rebuilds from scratch instead of mixing layouts.
 # v4: postings + manifest partitioned wave=K/segment_id=S, so index
 # maintenance rewrites single segments instead of whole waves.
-INDEX_FORMAT = 4
+# v5: postings + positions partitioned wave=K/segment_id=S/bucket=B
+# (deterministic md5 term bucket) — the term-pruned serving scan becomes
+# a PARTITION-pruned scan reading 1/term_buckets of each segment.
+INDEX_FORMAT = 5
 
 
 @dataclass
@@ -93,6 +97,14 @@ class IndexConfig:
     # path (parity reference; also the path `tf_mode` applies to).
     # Both modes produce bit-identical postings files (tested).
     wave_mode: str = "packed"
+    # term->directory fan-out of the clustered write
+    # (wave=K/segment_id=S/bucket=B, bucket = md5(term) % term_buckets):
+    # the query planner maps each query term to its bucket driver-side,
+    # so every term-pruned scan is a PARTITION-pruned scan reading
+    # 1/term_buckets of each segment (see functions/buckets.py for the
+    # sizing law). Fixed per index (persisted in stats.json); <= 1
+    # disables bucketing (legacy v4 layout).
+    term_buckets: int = N_BUCKETS_DEFAULT
 
     def effective_salts(self) -> int:
         if self.n_salts is not None:
@@ -117,6 +129,9 @@ class IndexConfig:
             id_col=stats.get("id_col"),
             tf_mode=stats.get("tf_mode", "arrow_pairs"),
             wave_mode=stats.get("wave_mode", "packed"),
+            # legacy (pre-v5) indexes have no bucket directories — 0 keeps
+            # maintenance writing the layout the index actually has
+            term_buckets=int(stats.get("term_buckets", 0)),
         )
 
 
@@ -478,6 +493,26 @@ def wave_postings_packed(docs_wave: DataFrame, cfg: IndexConfig,
             .mapInPandas(merge, WAVE_OUT_SCHEMA))
 
 
+def bucket_cluster(rows: DataFrame, n_buckets: int) -> DataFrame:
+    """Cluster ENCODED posting/position rows for the bucket-partitioned
+    write: one exchange on (segment, md5-term-bucket), term-sorted within
+    partitions, so the write lands exactly ONE term-sorted file per
+    (segment_id=S, bucket=B) directory.
+
+    This exchange moves already-encoded rows — measured ~1/4 of the
+    partial-stream bytes the wave's merge exchange moves — and buys the
+    serving property the whole index exists for: a query term maps to its
+    bucket driver-side (functions/buckets.py), so every term-pruned scan
+    is a PARTITION-pruned scan (PartitionFilters in the plan) reading
+    1/n_buckets of each segment instead of relying on parquet row-group
+    stats that cannot discriminate between files holding hash-random term
+    subsets. At the 10^12-doc design point that is GBs per query instead
+    of the full postings tree."""
+    return (rows.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+            .repartition(F.col("segment_id"), F.col("bucket"))
+            .sortWithinPartitions("term"))
+
+
 def _success(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -524,20 +559,33 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
     n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
     if cfg.wave_mode == "packed":
-        # single-exchange wave: output is already clustered by
-        # (segment, term) and term-sorted — write it directly
         post = wave_postings_packed(docs_wave, cfg, avgdl)
-        writer = post.write.mode("overwrite").partitionBy("segment_id")
+        if cfg.term_buckets > 1:
+            # one small exchange of the ENCODED rows clusters them into
+            # bucket directories the query planner can partition-prune
+            writer = (bucket_cluster(post, cfg.term_buckets)
+                      .write.mode("overwrite")
+                      .partitionBy("segment_id", "bucket"))
+        else:
+            # legacy v4 layout: the merge output is already clustered by
+            # (segment, term) and term-sorted — write it directly
+            writer = post.write.mode("overwrite").partitionBy("segment_id")
     else:
         post = wave_postings(docs_wave, cfg, avgdl)
-        # cluster by segment before the write — a few term-hash-salted
-        # files per segment directory (each file stays term-sorted through
-        # the split, so row-group pruning is intact), not one file per
-        # (task x segment) combination
-        writer = (post.repartition(F.col("segment_id"),
-                                   F.pmod(F.xxhash64("term"), F.lit(n_salt)))
-                  .sortWithinPartitions("term")
-                  .write.mode("overwrite").partitionBy("segment_id"))
+        if cfg.term_buckets > 1:
+            writer = (bucket_cluster(post, cfg.term_buckets)
+                      .write.mode("overwrite")
+                      .partitionBy("segment_id", "bucket"))
+        else:
+            # legacy: cluster by segment before the write — a few
+            # term-hash-salted files per segment directory (each file
+            # stays term-sorted through the split), not one file per
+            # (task x segment) combination
+            writer = (post.repartition(
+                          F.col("segment_id"),
+                          F.pmod(F.xxhash64("term"), F.lit(n_salt)))
+                      .sortWithinPartitions("term")
+                      .write.mode("overwrite").partitionBy("segment_id"))
     if rebuild_segs is None:
         writer.parquet(wave_dir)
     else:
@@ -646,6 +694,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             "n_salts": cfg.effective_salts(), "wave_segments": cfg.wave_segments,
             "id_col": cfg.id_col, "tf_mode": cfg.tf_mode,
             "wave_mode": cfg.wave_mode,
+            "term_buckets": cfg.term_buckets,
             "format": INDEX_FORMAT,
         }
         stats["avgdl"] = stats["total_len"] / stats["n_docs"] if stats["n_docs"] else 0.0

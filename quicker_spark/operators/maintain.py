@@ -540,10 +540,15 @@ def _relayout(df: DataFrame, map_df: DataFrame, out_path: str) -> None:
     cols = [c for c in df.columns if c != "wave"]
     sort_cols = ["wave", "segment_id"] + (
         ["term"] if "term" in cols else [])
+    # v5 bucket-partitioned trees keep their bucket directories through
+    # the relayout (bucket is a pure function of term, so no re-bucketing
+    # is ever needed — the partition column just rides along)
+    part_cols = ["wave", "segment_id"] + (
+        ["bucket"] if "bucket" in cols else [])
     (df.select(*cols)
      .join(F.broadcast(map_df), "segment_id")
      .sortWithinPartitions(*sort_cols)
-     .write.mode("overwrite").partitionBy("wave", "segment_id")
+     .write.mode("overwrite").partitionBy(*part_cols)
      .parquet(out_path))
 
 

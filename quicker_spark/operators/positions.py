@@ -420,12 +420,20 @@ def write_positions_wave(spark: SparkSession, docs_df: DataFrame,
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
     n_salt = max(1, -(-3 * max(par, sp) // max(1, len(segs))))
     if cfg.wave_mode == "packed":
-        # single-exchange wave: output is already clustered by
-        # (segment, term-bucket) and term-sorted — write it directly
         rows = wave_positions_packed(docs_wave, cfg, n_salt, fields)
-        writer = rows.write.mode("overwrite").partitionBy("segment_id")
     else:
         rows = wave_positions(docs_wave, cfg, fields)
+    if cfg.term_buckets > 1:
+        # same bucket-partitioned layout as the main postings tree, so
+        # phrase serving gets the same partition-pruned term scan
+        from quicker_spark.operators.build import bucket_cluster
+        writer = (bucket_cluster(rows, cfg.term_buckets)
+                  .write.mode("overwrite")
+                  .partitionBy("segment_id", "bucket"))
+    elif cfg.wave_mode == "packed":
+        # legacy v4: merge output is already clustered and term-sorted
+        writer = rows.write.mode("overwrite").partitionBy("segment_id")
+    else:
         writer = (rows.repartition(F.col("segment_id"),
                                    F.pmod(F.xxhash64("term"), F.lit(n_salt)))
                   .sortWithinPartitions("term")

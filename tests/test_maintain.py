@@ -421,9 +421,16 @@ def test_rebuild_leaves_sibling_segments_untouched(spark, index_dir):
     def seg_dir_state(wave, seg):
         d = os.path.join(index_dir, "postings", f"wave={wave}",
                          f"segment_id={seg}")
-        return sorted((f, os.stat(os.path.join(d, f)).st_mtime_ns,
-                       os.stat(os.path.join(d, f)).st_size)
-                      for f in os.listdir(d) if not f.endswith(".crc"))
+        out = []
+        for dp, _dn, fns in os.walk(d):   # v5: bucket=B subdirs
+            for f in fns:
+                if f.endswith(".crc"):
+                    continue
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out.append((os.path.relpath(p, d), st.st_mtime_ns,
+                            st.st_size))
+        return sorted(out)
 
     sibling_before = seg_dir_state(0, 1)    # wave 0 covers segments 0+1
     rebuilt_before = seg_dir_state(0, 0)

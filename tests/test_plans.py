@@ -47,6 +47,26 @@ def test_term_filter_pushed_to_postings_scan(eng):
     assert "In(term" in plan or "term IN" in plan
 
 
+def test_postings_scan_is_bucket_partition_pruned(eng):
+    """v5 layout contract: the term-pruned scan must carry
+    PartitionFilters on the terms' md5 buckets — the scan reads
+    1/term_buckets of every segment directory, not the whole tree.
+    Directory-level pruning is what holds at 10^12 docs, where row-group
+    stats alone cannot skip files holding hash-random term subsets."""
+    from quicker_spark.functions.buckets import term_bucket
+
+    terms = {"content\x01def", "content\x01return"}
+    nb = int(eng.stats["term_buckets"])
+    assert nb > 1
+    plan = _formatted(eng._postings_for(terms))
+    scan = [ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "bucket" in ln]
+    assert scan, plan
+    # the pruned bucket set is exactly the query terms' buckets
+    expect = sorted({term_bucket(t, nb) for t in terms})
+    assert any(str(b) in scan[0] for b in expect), (expect, scan)
+
+
 def test_postings_scan_prunes_columns(eng):
     df = eng.postings.select("term", "df")
     plan = _formatted(df)

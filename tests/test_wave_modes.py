@@ -52,7 +52,8 @@ def test_packed_wave_files_term_sorted(spark, tmp_path):
     build_index(spark, corpus_df(spark, 300, partitions=4), out,
                 IndexConfig(seg_docs=100, wave_segments=4, block_size=16,
                             wave_mode="packed"))
-    files = glob.glob(out + "/postings/wave=*/segment_id=*/*.parquet")
+    files = glob.glob(
+        out + "/postings/wave=*/segment_id=*/bucket=*/*.parquet")
     assert files
     for f in files:
         terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
@@ -107,7 +108,8 @@ def test_packed_positions_files_term_sorted(spark, tmp_path):
                 IndexConfig(seg_docs=100, wave_segments=4, block_size=16,
                             wave_mode="packed"))
     build_positions(spark, out, fields=("content",))
-    files = glob.glob(out + "/positions/wave=*/segment_id=*/*.parquet")
+    files = glob.glob(
+        out + "/positions/wave=*/segment_id=*/bucket=*/*.parquet")
     assert files
     for f in files:
         terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
