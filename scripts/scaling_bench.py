@@ -148,6 +148,11 @@ def main() -> None:
     ap.add_argument("--single", type=int, default=None)
     ap.add_argument("--levels", type=str, default="8,32")
     ap.add_argument("--reps", type=int, default=2)
+    # builds per child round (fresh JVM): >1 reports the child's warm
+    # best-of — the FIRST timed build in a JVM pays one-time C2/plan
+    # warmup (~5-45 s measured) that is per-executor-lifetime constant on
+    # a real cluster, not throughput
+    ap.add_argument("--child-reps", type=int, default=1)
     args = ap.parse_args()
 
     if args.single is not None:
@@ -184,7 +189,7 @@ def main() -> None:
     rounds: list[dict] = []
     for _ in range(max(1, args.reps)):
         for c in levels:
-            r = run_level(c, reps=1)
+            r = run_level(c, reps=max(1, args.child_reps))
             rounds.append(r)
             if c not in best or r["build_sec"] < best[c]["build_sec"]:
                 best[c] = r

@@ -111,6 +111,7 @@ def main() -> None:
     paths = [p for p in glob.glob(os.path.join(evdir, "**", "*"), recursive=True)
              if os.path.isfile(p) and "appstatus" not in os.path.basename(p)]
     stages = []
+    task_rows: dict[int, list] = {}
     task_agg: dict[int, dict] = {}
     for path in paths:
         if path.endswith(".zstd") or path.endswith(".lz4"):
@@ -124,6 +125,15 @@ def main() -> None:
                 if ev.get("Event") == "SparkListenerTaskEnd":
                     sid = ev["Stage ID"]
                     tm = ev.get("Task Metrics") or {}
+                    ti = ev.get("Task Info") or {}
+                    task_rows.setdefault(sid, []).append({
+                        "launch": ti.get("Launch Time"),
+                        "finish": ti.get("Finish Time"),
+                        "run_ms": tm.get("Executor Run Time", 0),
+                        "cpu_ms": (tm.get("Executor CPU Time", 0)) // 1_000_000,
+                        "in_rec": ((tm.get("Input Metrics") or {})
+                                   .get("Records Read", 0)),
+                    })
                     a = task_agg.setdefault(sid, {
                         "run_ms": 0, "cpu_ns": 0, "gc_ms": 0,
                         "deser_ms": 0, "ser_ms": 0,
@@ -189,9 +199,25 @@ def main() -> None:
     else:
         gap_s = None
 
+    # per-task detail for the three longest stages: task-level run/cpu
+    # distributions answer "fixed per-task overhead or skew?" directly
+    detail = {}
+    for s in sorted(stages, key=lambda x: -x["wall_s"])[:3]:
+        rows = sorted(task_rows.get(s["id"], []),
+                      key=lambda r: -(r["run_ms"]))
+        base = min((r["launch"] for r in rows if r.get("launch")),
+                   default=None)
+        detail[f"stage_{s['id']}"] = [
+            {"run_s": round(r["run_ms"] / 1000.0, 2),
+             "cpu_s": round(r["cpu_ms"] / 1000.0, 2),
+             "rows": r["in_rec"],
+             "start_s": (round((r["launch"] - base) / 1000.0, 1)
+                         if r.get("launch") and base else 0.0)}
+            for r in rows]
     print(json.dumps({
         "cores": args.cores,
         "docs": args.docs,
+        "task_detail": detail,
         "build_sec": round(build_s, 2),
         "prepare_sec": round(report.prepare_secs, 2),
         "prepare_phases": report.prepare_phases,
