@@ -105,6 +105,12 @@ class IndexConfig:
     # sizing law). Fixed per index (persisted in stats.json); <= 1
     # disables bucketing (legacy v4 layout).
     term_buckets: int = N_BUCKETS_DEFAULT
+    # pre-warm one python worker per task slot with a pipeline-shaped
+    # dummy wave before the first real wave (see warm_python_workers).
+    # Only fires when the corpus is large enough that the per-worker
+    # first-batch cost is visible (docs bytes >= 32 MB x parallelism) —
+    # tiny test corpora skip it.
+    warm_workers: bool = True
 
     def effective_salts(self) -> int:
         if self.n_salts is not None:
@@ -493,6 +499,50 @@ def wave_postings_packed(docs_wave: DataFrame, cfg: IndexConfig,
             .mapInPandas(merge, WAVE_OUT_SCHEMA))
 
 
+def warm_python_workers(spark: SparkSession, cfg: IndexConfig,
+                        avgdl: float) -> float:
+    """Run one tiny wave-shaped job with exactly one task per executor
+    slot, so every pooled python worker pays its first-batch cost BEFORE
+    the real wave; returns elapsed seconds.
+
+    Measured on the 1M-doc pinned rig: a fresh python worker's first pack
+    batch costs ~8-15 s (numpy/pandas lazy init + Arrow serialization
+    first-touch + the JVM's cold shuffle-write path) vs ~1 s steady-state
+    — and the cost is paid by EVERY slot concurrently at the head of the
+    first pack stage. On a real N vs 4N cluster this is per-executor
+    initialization, constant and amortized over the executor's lifetime;
+    in a timed single-build benchmark it silently taxes the large-N level
+    8x harder than the small one. The dummy wave (rows ~ slots, one task
+    per slot via an exact ``spark.range(..., numPartitions=slots)``)
+    exercises the same code path end to end — pack UDF, (segment, term)
+    exchange, in-partition sort, merge+encode UDF — for a few hundred ms
+    of steady-state work, leaving the pool warm.
+    """
+    t0 = time.time()
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n = par * 64
+    str_cols = [
+        F.concat(F.lit("warm def return import class x"),
+                 (F.col("id") % 17).cast("string")).alias(f)
+        for f in cfg.fields
+        if f not in ("segment_id", "doc_id", "doc_len", "bits_feature")
+    ]
+    dummy = (
+        spark.range(0, n, 1, par)
+        .select((F.col("id") % 4).cast("long").alias("segment_id"),
+                F.col("id").alias("doc_id"),
+                F.lit(8).cast("long").alias("doc_len"),
+                F.lit(0).cast("long").alias("bits_feature"),
+                *str_cols)
+    )
+    if cfg.wave_mode == "packed":
+        wave = wave_postings_packed(dummy, cfg, avgdl or 10.0)
+    else:
+        wave = wave_postings(dummy, cfg, avgdl or 10.0)
+    wave.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def bucket_cluster(rows: DataFrame, n_buckets: int) -> DataFrame:
     """Cluster ENCODED posting/position rows for the bucket-partitioned
     write: one exchange on (segment, md5-term-bucket), term-sorted within
@@ -508,9 +558,16 @@ def bucket_cluster(rows: DataFrame, n_buckets: int) -> DataFrame:
     stats that cannot discriminate between files holding hash-random term
     subsets. At the 10^12-doc design point that is GBs per query instead
     of the full postings tree."""
+    # Sort by (partition cols, term): the partitioned writer REQUIRES its
+    # partition columns as a sort prefix and silently inserts its own
+    # sort when the plan's ordering doesn't provide it — an inserted sort
+    # that is not guaranteed stable w.r.t. term (observed: AQE-off plans
+    # broke per-file term order when only `term` was sorted here).
+    # Providing the full prefix makes the writer insert nothing and the
+    # per-file term order is guaranteed by construction.
     return (rows.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
             .repartition(F.col("segment_id"), F.col("bucket"))
-            .sortWithinPartitions("term"))
+            .sortWithinPartitions("segment_id", "bucket", "term"))
 
 
 def _success(path: str) -> bool:
@@ -568,8 +625,12 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
                       .partitionBy("segment_id", "bucket"))
         else:
             # legacy v4 layout: the merge output is already clustered by
-            # (segment, term) and term-sorted — write it directly
-            writer = post.write.mode("overwrite").partitionBy("segment_id")
+            # (segment, term) and term-sorted, but the planner cannot see
+            # a mapInPandas ordering, so the partitioned writer would
+            # insert its own (unstable) sort by segment_id — make the
+            # required prefix explicit to keep files term-sorted
+            writer = (post.sortWithinPartitions("segment_id", "term")
+                      .write.mode("overwrite").partitionBy("segment_id"))
     else:
         post = wave_postings(docs_wave, cfg, avgdl)
         if cfg.term_buckets > 1:
@@ -584,7 +645,9 @@ def write_wave(spark: SparkSession, docs_df: DataFrame, wave: list[int],
             writer = (post.repartition(
                           F.col("segment_id"),
                           F.pmod(F.xxhash64("term"), F.lit(n_salt)))
-                      .sortWithinPartitions("term")
+                      # partition-col prefix: see bucket_cluster — without
+                      # it the writer inserts an unstable segment_id sort
+                      .sortWithinPartitions("segment_id", "term")
                       .write.mode("overwrite").partitionBy("segment_id"))
     if rebuild_segs is None:
         writer.parquet(wave_dir)
@@ -656,33 +719,77 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 import shutil
                 shutil.rmtree(out_dir, ignore_errors=True)
 
+    # Build-local tuning, restored in the finally below: AQE's only effect
+    # on the build is a driver re-plan JOB BREAK at every exchange (the
+    # wave becomes 3-4 sequential jobs; coalescing is disabled anyway
+    # because the wave sizes its own partitions) — measured 3.3-3.6 s of
+    # inter-stage driver gaps per 1M-doc build, a constant that taxes the
+    # large-N level 4x harder in the N vs 4N ratio.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _build_index_body(spark, corpus, out_dir, cfg, resume,
+                                 max_waves, t0, docs_path, stats_path)
+    finally:
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+
+
+def _build_index_body(spark: SparkSession, corpus: DataFrame, out_dir: str,
+                      cfg: IndexConfig, resume: bool,
+                      max_waves: int | None, t0: float,
+                      docs_path: str, stats_path: str) -> BuildReport:
     # -- phase 1: forward index + global stats (skipped when checkpointed)
     t_prep = time.time()
     prep_phases: dict[str, float] = {}
+    par = max(1, spark.sparkContext.defaultParallelism)
     if not (resume and _success(docs_path) and os.path.exists(stats_path)):
         t_rank = time.time()
-        docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts,
-                            id_col=cfg.id_col)
-        prep_phases["rank"] = time.time() - t_rank
-        t_write = time.time()
-        # partitioned by segment: maintenance (delete/upsert) rewrites only
-        # the affected segment directories (dynamic partition overwrite),
-        # and the per-wave doc_id range filter prunes directories at build.
-        # doc ranges are contiguous per task, so each task emits few dirs.
-        # At 10^12 docs size seg_docs so the dir count stays sane (or swap
-        # the seam to Iceberg, where MERGE replaces dir-level overwrite).
-        # Corpus stats ride the write job as an Observation — no post-write
-        # re-read of the whole docs table.
-        from pyspark.sql import Observation
+        # The rank-bucket window exchange sets the docs_write task count.
+        # Session policy (cores x 4) is right for the posting merge, but
+        # here each extra task is an extra parquet file + writer/zstd
+        # setup (~1.5 s fixed per task measured) for a write that is
+        # bandwidth-bound anyway: cap at cores x 2 (floor 4). At warehouse
+        # scale callers size shuffle partitions to the data and the
+        # session value (>= cores x 2) wins the min().
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
+        try:
+            if prev_sp is not None and prev_sp.isdigit():
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(min(int(prev_sp), max(4, par * 2))))
+            docs = prepare_docs(corpus, cfg.seg_docs, n_parts=cfg.n_parts,
+                                id_col=cfg.id_col)
+            prep_phases["rank"] = time.time() - t_rank
+            t_write = time.time()
+            # partitioned by segment: maintenance (delete/upsert) rewrites
+            # only the affected segment directories (dynamic partition
+            # overwrite), and the per-wave doc_id range filter prunes
+            # directories at build. doc ranges are contiguous per task, so
+            # each task emits few dirs. At 10^12 docs size seg_docs so the
+            # dir count stays sane (or swap the seam to Iceberg, where
+            # MERGE replaces dir-level overwrite). Corpus stats ride the
+            # write job as an Observation — no post-write re-read of the
+            # whole docs table.
+            from pyspark.sql import Observation
 
-        obs = Observation("docs_stats")
-        (docs.observe(obs, F.count(F.lit(1)).alias("n"),
-                      F.sum("doc_len").alias("total"),
-                      F.max("doc_id").alias("mx"))
-             .sortWithinPartitions("doc_id")
-             .write.partitionBy("segment_id")
-             .mode("overwrite").parquet(docs_path))
-        prep_phases["docs_write"] = time.time() - t_write
+            obs = Observation("docs_stats")
+            (docs.observe(obs, F.count(F.lit(1)).alias("n"),
+                          F.sum("doc_len").alias("total"),
+                          F.max("doc_id").alias("mx"))
+                 # segment_id = doc_id // seg_docs is monotone in doc_id,
+                 # so this equals a doc_id sort — and it carries the
+                 # partition-col prefix the writer requires, so no
+                 # (unstable) writer-inserted segment sort can break the
+                 # docs files' doc_id order (range pruning depends on it)
+                 .sortWithinPartitions("segment_id", "doc_id")
+                 .write.partitionBy("segment_id")
+                 .mode("overwrite").parquet(docs_path))
+            prep_phases["docs_write"] = time.time() - t_write
+        finally:
+            if prev_sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         release_id_cache(docs)  # no-op since ids became deterministic
         t_agg = time.time()
         agg = obs.get
@@ -739,6 +846,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              for i in range(0, len(todo), cfg.wave_segments)]
     if max_waves is not None:
         waves = waves[:max_waves]
+
+    # pre-warm the python worker pool before the first real wave: per-slot
+    # first-batch cost is ~8-15 s on a fresh pool and the first pack stage
+    # otherwise pays it on every slot at once (constant per-executor setup
+    # at cluster scale; see warm_python_workers). Gated to corpora big
+    # enough for the wave to dwarf the ~1-3 s dummy job.
+    if cfg.warm_workers and waves and docs_bytes_now >= (32 << 20) * par:
+        prep_phases["worker_warm"] = round(
+            warm_python_workers(spark, cfg, avgdl), 2)
 
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     wave_secs: list[float] = []

@@ -199,7 +199,10 @@ def _stage_docs(docs_kept: DataFrame, affected: set[int],
     marker is on disk."""
     staging = os.path.join(index_dir, _DOCS_STAGING)
     shutil.rmtree(staging, ignore_errors=True)
-    (docs_kept.sortWithinPartitions("doc_id")
+    # (segment_id, doc_id) == doc_id order (segment is doc_id // seg_docs)
+    # AND covers the writer's partition-col sort requirement — see
+    # build.bucket_cluster for why the prefix must be explicit
+    (docs_kept.sortWithinPartitions("segment_id", "doc_id")
      .write.mode("overwrite")
      .partitionBy("segment_id")
      .parquet(staging))
@@ -538,8 +541,12 @@ def _relayout(df: DataFrame, map_df: DataFrame, out_path: str) -> None:
     pruning), write partitioned. No shuffle: each input (wave, segment)
     directory maps to exactly one output directory."""
     cols = [c for c in df.columns if c != "wave"]
-    sort_cols = ["wave", "segment_id"] + (
-        ["term"] if "term" in cols else [])
+    # sort prefix must cover the PARTITION columns (incl. bucket for v5
+    # trees) or the writer inserts its own, not-necessarily-stable sort
+    # and per-file term order is lost
+    sort_cols = (["wave", "segment_id"]
+                 + (["bucket"] if "bucket" in cols else [])
+                 + (["term"] if "term" in cols else []))
     # v5 bucket-partitioned trees keep their bucket directories through
     # the relayout (bucket is a pure function of term, so no re-bucketing
     # is ever needed — the partition column just rides along)

@@ -431,12 +431,15 @@ def write_positions_wave(spark: SparkSession, docs_df: DataFrame,
                   .write.mode("overwrite")
                   .partitionBy("segment_id", "bucket"))
     elif cfg.wave_mode == "packed":
-        # legacy v4: merge output is already clustered and term-sorted
-        writer = rows.write.mode("overwrite").partitionBy("segment_id")
+        # legacy v4: merge output is clustered and term-sorted, but the
+        # planner can't see a mapInPandas ordering — make the partition
+        # prefix explicit or the writer inserts its own unstable sort
+        writer = (rows.sortWithinPartitions("segment_id", "term")
+                  .write.mode("overwrite").partitionBy("segment_id"))
     else:
         writer = (rows.repartition(F.col("segment_id"),
                                    F.pmod(F.xxhash64("term"), F.lit(n_salt)))
-                  .sortWithinPartitions("term")
+                  .sortWithinPartitions("segment_id", "term")
                   .write.mode("overwrite").partitionBy("segment_id"))
     if rebuild_segs is None:
         writer.parquet(wave_dir)
