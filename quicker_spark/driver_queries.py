@@ -204,6 +204,11 @@ def _sql_lang_bits() -> str:
 BM25_TERMS = ("query", "spark", "table")
 AND_TERMS = ("table", "merge")
 
+# Lucene SynonymQuery / DisjunctionMaxQuery fixtures
+SYN_GROUPS = {"sorting": ("sort", "order"), "tabular": ("table", "row")}
+DISMAX_WORDS = ("query", "merge", "scan")
+DISMAX_TIE = 0.3
+
 # mutation-lifecycle fixtures (ids valid at every sf: the smallest corpus
 # has 500 docs)
 DEL_IDS = (3, 77, 150, 201)
@@ -449,6 +454,26 @@ def q_bm25_msm_top10(spark, sf_dir):
     CTE with a ``count(DISTINCT term) >= 2`` HAVING candidate set."""
     eng = get_engine(spark, sf_dir)
     hits = eng.search(_bm25_query(), k=10, min_should_match=MSM_QUORUM)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_synonym_top10(spark, sf_dir):
+    """Lucene ``SynonymQuery``: each group scores as ONE pseudo-term
+    (tf = sum of member tfs, docFreq = max of member dfs), groups
+    combine as a flat OR (engine.search_synonyms). The oracle rebuilds
+    the blend in SQL: a term->group VALUES mapping, per-(doc, group)
+    tf sums, per-group max-df idf."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_synonyms(SYN_GROUPS, k=10)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_dismax_top10(spark, sf_dir):
+    """Lucene ``DisjunctionMaxQuery``: score = (1 - tie) * best clause
+    + tie * clause sum (engine.search_dismax, tie=0.3). The oracle
+    computes per-(doc, term) contributions and aggregates max/sum."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_dismax(list(DISMAX_WORDS), tie=DISMAX_TIE, k=10)
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
@@ -1216,6 +1241,8 @@ QUERIES = {
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
     "bm25_msm_top10": q_bm25_msm_top10,
+    "synonym_top10": q_synonym_top10,
+    "dismax_top10": q_dismax_top10,
     "bm25_explain_top10": q_bm25_explain_top10,
     "mlt_top10": q_mlt_top10,
     "suggest_top5": q_suggest_top5,
@@ -1330,6 +1357,74 @@ SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM ded
 ORDER BY score DESC, doc_id LIMIT 10
 """
 
+_SQL_SYN_VALUES = ", ".join(
+    f"('{w}', '{g}')" for g, ws in sorted(SYN_GROUPS.items()) for w in ws)
+
+SQL_SYNONYM_TOP10 = f"""
+WITH base AS ({SQL_DOCS_BASE}),
+toks AS (SELECT doc_id, t.term FROM base,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)),
+dl AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::double AS dl
+       FROM base),
+stats AS (SELECT count(*)::double AS n,
+                 sum(dl)::double / count(*)::double AS avgdl FROM dl),
+syn(term, grp) AS (VALUES {_SQL_SYN_VALUES}),
+tf AS (SELECT doc_id, grp, count(*)::double AS tf FROM toks
+       JOIN syn USING (term) GROUP BY doc_id, grp),
+df AS (SELECT grp, max(dfm)::double AS dfv FROM
+       (SELECT syn.grp, syn.term, count(DISTINCT doc_id) AS dfm
+        FROM toks JOIN syn USING (term) GROUP BY syn.grp, syn.term)
+       GROUP BY grp),
+idf AS (SELECT grp, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
+        FROM df, stats),
+scores AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * (tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+         AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.grp = idf.grp
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+_SQL_DISMAX_IN = "','".join(DISMAX_WORDS)
+
+SQL_DISMAX_TOP10 = f"""
+WITH base AS ({SQL_DOCS_BASE}),
+toks AS (SELECT doc_id, t.term FROM base,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)),
+dl AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::double AS dl
+       FROM base),
+stats AS (SELECT count(*)::double AS n,
+                 sum(dl)::double / count(*)::double AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks
+       WHERE term IN ('{_SQL_DISMAX_IN}') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::double AS dfv FROM toks
+       WHERE term IN ('{_SQL_DISMAX_IN}') GROUP BY term),
+idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
+        FROM df, stats),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * (tf.tf * (1.2 + 1.0)) /
+         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.term = idf.term
+  CROSS JOIN stats),
+scores AS (SELECT doc_id,
+                  (1.0 - {DISMAX_TIE}) * max(c) + {DISMAX_TIE} * sum(c)
+                  AS score
+           FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 ORACLE_SQL = {
     "term_tf": (
         f"WITH toks AS ({SQL_TOKS}) "
@@ -1357,6 +1452,8 @@ ORACLE_SQL = {
                                        cand_having=_NESTED_HAVING),
     "bm25_msm_top10": sql_bm25_topk(
         cand_having=f"count(DISTINCT term) >= {MSM_QUORUM}"),
+    "synonym_top10": SQL_SYNONYM_TOP10,
+    "dismax_top10": SQL_DISMAX_TOP10,
     "bm25_explain_top10": sql_bm25_topk(project=SQL_EXPLAIN_PROJECT),
     "collapse_top5": sql_bm25_topk(project=SQL_COLLAPSE_PROJECT),
     "mlt_top10": sql_bm25_topk(term_where=SQL_MLT_TERM_WHERE,

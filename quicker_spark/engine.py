@@ -30,12 +30,14 @@ from quicker_spark.functions.kernels import (
     bm25_u,
     eval_bool_tree,
     filter_by_bits_vec,
+    merge_decoded_runs,
     score_segment_conjunctive,
+    score_segment_dismax,
     score_segment_exhaustive,
     score_segment_wand,
 )
 from quicker_spark.functions.buckets import term_bucket
-from quicker_spark.model import bm25_idf
+from quicker_spark.model import bm25_idf, term_key
 from quicker_spark.plans.term_query import NewTermQuery, Or, TermQuery
 
 
@@ -191,6 +193,54 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
             k, on, off, or_flags, k1, b, block_size, boosts=boost_map,
             after=after, exclude=exclude, exclude_only=excl_only,
             min_match=min_match)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return kernel
+
+
+def _make_synonym_kernel(groups: tuple, idf_groups: tuple, avgdl: float,
+                         k: int, on: int, off: int, or_flags: tuple,
+                         k1: float, b: float, block_size: int):
+    """``groups``: ((group key, (member term keys...)), ...). The group
+    idf arrives precomputed (``idf_groups``) from the GLOBAL blended df
+    (max over members, Lucene SynonymQuery docFreq), so every segment
+    scores with the same weight even when some members are locally
+    absent."""
+    idf = dict(idf_groups)
+    query = {"should": [
+        {"keyword": {"field": g.split("\x01", 1)[0],
+                     "word": g.split("\x01", 1)[1]}}
+        for g, _ in groups]}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        block = block_size
+        dec: dict[str, tuple] = {}
+        for gkey, members in groups:
+            sub = pdf[pdf["term"].isin(members)]
+            runs = [_row_to_encoded(r, block).decode_all()
+                    for _, r in sub.iterrows()]
+            if runs:
+                dec[gkey] = merge_decoded_runs(runs)
+        if not dec:
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64),
+                                 "score": np.empty(0, dtype=np.float64)})
+        ids, scores = score_segment_exhaustive(
+            query, dec, idf, avgdl, k, on, off, or_flags, k1, b)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    return kernel
+
+
+def _make_dismax_kernel(tie: float, n_docs: int, avgdl: float, k: int,
+                        on: int, off: int, or_flags: tuple,
+                        k1: float, b: float, block_size: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        dec = {r["term"]: _row_to_encoded(r, block_size).decode_all()
+               for _, r in pdf.iterrows()}
+        idf = {r["term"]: bm25_idf(n_docs, int(r["df_global"]))
+               for _, r in pdf.iterrows()}
+        ids, scores = score_segment_dismax(
+            dec, idf, avgdl, k, tie, on, off, or_flags, k1, b)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -1333,6 +1383,90 @@ class SearchEngine:
         return self.search(Or(*terms), k=k, on=on, off=off,
                            or_flags=or_flags, mode=mode, boosts=boosts,
                            hydrate=hydrate)
+
+    def search_synonyms(self, groups: dict, field: str = "content",
+                        k: int = 10, on: int = 0, off: int = 0,
+                        or_flags: tuple = (),
+                        hydrate: bool = False) -> DataFrame:
+        """Lucene ``SynonymQuery`` top-k: each entry of ``groups``
+        (name -> words) scores as ONE pseudo-term — tf(d) = sum of the
+        member tfs in d, docFreq = MAX of the member global dfs (the
+        Lucene blend: an OR of synonyms must not reward a doc for
+        repeating the concept under different spellings, and the rarest
+        member must not get a rarity bonus for what is one concept).
+        Multiple groups combine as a flat OR of pseudo-terms through the
+        exhaustive scorer. The blended idf is computed driver-side from
+        one control-plane-sized term-stats read (len(members) rows), so
+        every segment scores with the same global weight regardless of
+        which members it locally contains. No reference analog (the
+        reference's OR rewrites score nothing; this follows Lucene's
+        published SynonymQuery semantics)."""
+        norm: dict[str, tuple] = {}
+        for name, words in sorted(groups.items()):
+            words = [words] if isinstance(words, str) else list(words)
+            keys = tuple(dict.fromkeys(
+                term_key(field, w) for w in words if w))
+            if keys:
+                norm[term_key(field, name)] = keys
+        members = sorted({m for ks in norm.values() for m in ks})
+        if not members:
+            return self._empty_hits(hydrate)
+        dfs = {r["term"]: int(r["df_global"])
+               for r in self.term_stats.filter(
+                   F.col("term").isin(members)).collect()}
+        n_docs = int(self.stats["n_docs"])
+        idf_groups = tuple(
+            (g, bm25_idf(n_docs, max(dfs.get(m, 0) for m in ms)))
+            for g, ms in norm.items() if any(m in dfs for m in ms))
+        if not idf_groups:
+            return self._empty_hits(hydrate)
+        live = {g for g, _ in idf_groups}
+        kern = _make_synonym_kernel(
+            tuple((g, ms) for g, ms in norm.items() if g in live),
+            idf_groups, float(self.stats["avgdl"]), k, on, off,
+            tuple(or_flags), self.stats["k1"], self.stats["b"],
+            self.stats["block_size"])
+        scan = {m for g, ms in norm.items() if g in live for m in ms}
+        seg_hits = (self._postings_for(scan)
+                    .groupBy("segment_id")
+                    .applyInPandas(kern, "doc_id long, score double"))
+        hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self.hydrate(hits) if hydrate else hits
+
+    def search_dismax(self, words, field: str = "content",
+                      tie: float = 0.0, k: int = 10, on: int = 0,
+                      off: int = 0, or_flags: tuple = (),
+                      hydrate: bool = False) -> DataFrame:
+        """Lucene ``DisjunctionMaxQuery`` top-k over term leaves:
+        score(d) = (1 - tie) * max_t c_t(d) + tie * sum_t c_t(d) with
+        c_t = idf * u (algebraically Lucene's max + tie * sumOfOthers) —
+        the best-matching term dominates and the rest contribute only
+        through ``tie`` in [0, 1], so a doc matching one term strongly
+        outranks a doc matching every term weakly (the "pick the best
+        clause" semantics a plain BM25 sum inverts). tie=1 is bitwise
+        the flat OR query's sum; tie=0 the pure max. Same
+        scatter-gather plan as :meth:`search` (term-pruned scan,
+        per-segment Arrow kernel, TakeOrdered merge)."""
+        if isinstance(words, str):
+            words = [words]
+        if not 0.0 <= tie <= 1.0:
+            raise ValueError(f"tie must be in [0, 1]: {tie}")
+        terms = {term_key(field, w) for w in words if w}
+        if not terms:
+            return self._empty_hits(hydrate)
+        kern = _make_dismax_kernel(
+            float(tie), int(self.stats["n_docs"]),
+            float(self.stats["avgdl"]), k, on, off, tuple(or_flags),
+            self.stats["k1"], self.stats["b"], self.stats["block_size"])
+        ts = F.broadcast(
+            self.term_stats.filter(F.col("term").isin(list(terms))))
+        seg_hits = (self._postings_for(terms)
+                    .join(ts, "term", "left")
+                    .fillna(0, subset=["df_global"])
+                    .groupBy("segment_id")
+                    .applyInPandas(kern, "doc_id long, score double"))
+        hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self.hydrate(hits) if hydrate else hits
 
     def facet_counts(self, q: TermQuery, by=("lang",), on: int = 0,
                      off: int = 0, or_flags: tuple = ()) -> DataFrame:

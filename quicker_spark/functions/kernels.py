@@ -445,6 +445,81 @@ def score_segment_exhaustive(
     return cands[order], scores[order]
 
 
+def merge_decoded_runs(runs: list[tuple]) -> tuple:
+    """Merge decoded member posting runs into ONE synonym stream.
+
+    Lucene ``SynonymQuery`` semantics: the group behaves as a single
+    pseudo-term whose tf(d) is the SUM of the member tfs in d. doc_len
+    and bits are per-doc constants, so any member's value is taken.
+    Input/output shape matches ``EncodedPostings.decode_all()``:
+    (ids asc, tfs, dls, bits)."""
+    if len(runs) == 1:
+        return runs[0]
+    ids = np.concatenate([r[0] for r in runs])
+    tfs = np.concatenate([r[1] for r in runs])
+    dls = np.concatenate([r[2] for r in runs])
+    bts = np.concatenate([r[3] for r in runs])
+    order = np.argsort(ids, kind="stable")
+    ids, tfs, dls, bts = ids[order], tfs[order], dls[order], bts[order]
+    uniq, start = np.unique(ids, return_index=True)
+    return (uniq, np.add.reduceat(tfs, start), dls[start], bts[start])
+
+
+def score_segment_dismax(
+    term_postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    tie: float = 0.0,
+    on: int = 0,
+    off: int = 0,
+    or_flags=(),
+    k1: float = K1,
+    b: float = B,
+):
+    """Lucene ``DisjunctionMaxQuery`` over term leaves, vectorized TAAT.
+
+    score(d) = (1 - tie) * max_t c_t(d) + tie * sum_t c_t(d) with
+    c_t = idf_t * u(tf, dl) — algebraically Lucene's
+    ``max + tie * sumOfOthers``, computed in the form whose endpoints
+    are bitwise exact: tie=0 is the pure max, tie=1 is bitwise the flat
+    OR query's sum (same accumulation order as the exhaustive scorer).
+    The best-matching term dominates and the others contribute only
+    through the tie-breaker, so a doc matching one term strongly
+    outranks a doc matching every term weakly (the "pick the best
+    clause" semantics BM25's plain sum inverts). Returns the
+    segment-local top-k ordered (score desc, doc_id asc), same contract
+    as :func:`score_segment_exhaustive`."""
+    filtered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t, (ids, tfs, dls, bits) in term_postings.items():
+        m = filter_by_bits_vec(bits, on, off, or_flags)
+        filtered[t] = (ids[m], bm25_u(tfs[m], dls[m], avgdl, k1, b))
+    cands = union_many([f[0] for f in filtered.values()])
+    if cands.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    mx = np.zeros(cands.size, dtype=np.float64)
+    sm = np.zeros(cands.size, dtype=np.float64)
+    for t in sorted(filtered):  # fixed accumulation order (rank identity)
+        fids, u = filtered[t]
+        if fids.size == 0:
+            continue
+        pos = np.searchsorted(fids, cands)
+        pos_c = np.clip(pos, 0, fids.size - 1)
+        hit = fids[pos_c] == cands
+        c = np.zeros(cands.size, dtype=np.float64)
+        c[hit] = idf.get(t, 0.0) * u[pos_c[hit]]
+        sm += c
+        np.maximum(mx, c, out=mx)
+    scores = (1.0 - tie) * mx + tie * sm
+    if cands.size > k:
+        kth = np.partition(-scores, k - 1)[k - 1]
+        keep = np.nonzero(-scores <= kth)[0]
+    else:
+        keep = np.arange(cands.size)
+    order = keep[np.lexsort((cands[keep], -scores[keep]))][:k]
+    return cands[order], scores[order]
+
+
 # -- block-max interval scorers (WAND / conjunctive) ---------------------------
 #
 # Both pruned scorers share one vectorized structure: the doc-id space is
