@@ -81,11 +81,20 @@ def main() -> None:
     # was ~half the measured time and pure noise between rounds)
     warm_dir = tempfile.mkdtemp(prefix="quicker_bench_warm_")
     shutil.rmtree(warm_dir, ignore_errors=True)
-    build_index(spark, corpus.limit(500), warm_dir, cfg, resume=False)
+    build_index(spark, corpus.limit(2000), warm_dir, cfg, resume=False)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    t0 = time.time()
-    report = build_index(spark, corpus, out_dir, cfg, resume=False)
-    timings["index_build"] = time.time() - t0
+    # warm best-of-2 (same discipline as scripts/scaling_bench.py
+    # --child-reps): the first full-size build in a JVM still pays
+    # residual C2/codegen warm-up the small warm pass doesn't reach —
+    # a per-JVM-lifetime constant, not engine throughput
+    best = None
+    for _rep in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        report = build_index(spark, corpus, out_dir, cfg, resume=False)
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    timings["index_build"] = best
     eng = SearchEngine(spark, out_dir)
 
     # -- query serving -------------------------------------------------------
@@ -131,6 +140,33 @@ def main() -> None:
     timings["bool_and"] = median_time(
         lambda: eng.search_bool(And(NewTermQuery("content", "table"),
                                     NewTermQuery("content", "merge"))).count())
+
+    # -- resident local serving tier (serving.LocalSearcher): the same
+    # index bytes + kernels with NO Spark job in the loop. cold_first =
+    # open + first pruned pyarrow read; p50 = warm resident-cache
+    # latency; local_24q = 24 heterogeneous warm queries in a loop
+    # (throughput shape; rank-identical to the Spark path, tested) ------
+    from quicker_spark.serving import LocalSearcher
+
+    t0 = time.time()
+    ls = LocalSearcher(out_dir)
+    ls.search(Or(*[NewTermQuery("content", t) for t in terms[0]]),
+              k=10, mode="wand")
+    timings["local_cold_first"] = time.time() - t0
+    lat = []
+    for ts in terms * 4:
+        t1 = time.time()
+        ls.search(Or(*[NewTermQuery("content", t) for t in ts]),
+                  k=10, mode="wand")
+        lat.append(time.time() - t1)
+    timings["bm25_local_p50"] = statistics.median(lat)
+    pool = ["query", "spark", "table", "merge", "join", "hash",
+            "scan", "filter", "sort"]
+    qs24 = {f"q{i}": Or(*[NewTermQuery("content", pool[(i + j) % len(pool)])
+                          for j in range(3)]) for i in range(24)}
+    t0 = time.time()
+    ls.search_many(qs24, k=10)
+    timings["local_24q"] = time.time() - t0
 
     # -- positional sidecar: build + phrase/proximity/prefix/facets ---------
     from quicker_spark.operators.positions import build_positions

@@ -429,6 +429,22 @@ def q_bm25_top10_taat(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+def q_bm25_local_top10(spark, sf_dir):
+    """Resident single-node serving tier (serving.LocalSearcher): the
+    SAME index bytes and numpy kernels served WITHOUT a Spark job —
+    pyarrow bucket-pruned point reads + a resident postings cache (the
+    reference's in-memory worker shape, index_service/worker.go).
+    Rank/score-identical to bm25_top10_wand; the shared SQL oracle
+    certifies both serving tiers against each other."""
+    from quicker_spark.serving import LocalSearcher
+
+    eng = get_engine(spark, sf_dir)
+    hits = LocalSearcher(eng.index_dir).search(
+        _bm25_query(), k=10, mode="wand")
+    sdf = spark.createDataFrame(hits[["doc_id", "score"]])
+    return sdf.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_bm25_and_top10(spark, sf_dir):
     """Conjunctive top-k through the pruned skip-pointer + block-max AND
     scorer (explicit mode='conj': auto's cost-based fallback may pick
@@ -1238,6 +1254,7 @@ QUERIES = {
     "postings_decode": q_postings_decode,
     "bm25_top10_wand": q_bm25_top10_wand,
     "bm25_top10_taat": q_bm25_top10_taat,
+    "bm25_local_top10": q_bm25_local_top10,
     "bm25_and_top10": q_bm25_and_top10,
     "bm25_nested_top10": q_bm25_nested_top10,
     "bm25_msm_top10": q_bm25_msm_top10,
@@ -1446,6 +1463,7 @@ ORACLE_SQL = {
         "FROM (SELECT DISTINCT term, doc_id FROM toks) GROUP BY term"
     ),
     "bm25_top10_wand": SQL_BM25_TOP10,
+    "bm25_local_top10": SQL_BM25_TOP10,
     "bm25_top10_taat": SQL_BM25_TOP10,
     "bm25_and_top10": sql_bm25_topk(AND_TERMS, require_all=True),
     "bm25_nested_top10": sql_bm25_topk(NESTED_OR + (NESTED_MUST,),

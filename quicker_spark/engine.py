@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -73,6 +74,89 @@ def _is_flat_or(q: TermQuery) -> bool:
 
 def _is_flat_and(q: TermQuery) -> bool:
     return bool(q.must) and all(c.keyword for c in q.must)
+
+
+class SearchSpec(NamedTuple):
+    """Validated + resolved search request — shared by the Spark engine
+    (:meth:`SearchEngine.search`) and the resident single-node server
+    (:class:`quicker_spark.serving.LocalSearcher`), so both paths make
+    byte-identical strategy choices for the same request."""
+    terms: list[str]
+    strategy: str
+    msm: int
+    neg_terms: frozenset[str]
+    exclude_json: str | None
+    after: tuple[float, int] | None
+    empty: bool   # request is valid but can match nothing
+
+
+def resolve_search_spec(q: TermQuery, mode: str = "auto",
+                        boosts: dict[str, float] | None = None,
+                        after: tuple[float, int] | None = None,
+                        exclude: TermQuery | None = None,
+                        min_should_match: int = 0) -> SearchSpec:
+    """Validate a BM25 top-k request and resolve its scoring strategy.
+
+    Raises the same ValueErrors for the same invalid requests on every
+    serving path; `empty=True` marks a request that is valid but can
+    match nothing (no terms, or an unreachable quorum)."""
+    terms = q.terms()
+    if not terms:
+        return SearchSpec([], "taat", 0, frozenset(), None, None, True)
+    empty = False
+    msm = int(min_should_match)
+    if msm > 1:
+        if not _is_flat_or(q):
+            raise ValueError(
+                "min_should_match requires a flat OR-of-terms query "
+                "(the quorum counts should clauses)")
+        if mode not in ("auto", "taat"):
+            raise ValueError(
+                "min_should_match requires mode='auto' or 'taat'")
+        if msm > len(set(terms)):
+            empty = True
+        mode = "taat"
+    neg_terms: set[str] = set()
+    exclude_json = None
+    if exclude is not None:
+        neg_terms = set(exclude.terms()) - set(terms)
+        if exclude.terms():
+            exclude_json = exclude.to_json()
+            if mode not in ("auto", "taat"):
+                raise ValueError(
+                    "exclude requires mode='auto' or 'taat' (pruned "
+                    "scorers cannot exclude losslessly)")
+            mode = "taat"
+    if boosts:
+        bad = {t: w for t, w in boosts.items() if not w > 0}
+        if bad:
+            raise ValueError(f"boosts must be > 0: {bad}")
+    if after is not None:
+        after = (float(after[0]), int(after[1]))
+    if mode == "auto":
+        strategy = ("wand_auto" if _is_flat_or(q)
+                    else "conj_auto" if _is_flat_and(q) else "taat")
+    else:
+        # explicit pruned modes are only defined for flat queries —
+        # silently flattening And(Or(a,b), c) into an intersection of
+        # all leaves would return wrong results with no error. The
+        # check covers the internal '*_auto' spellings too so no mode
+        # string can smuggle a nested tree past the guard.
+        if mode not in ("wand", "conj", "taat", "wand_auto", "conj_auto"):
+            raise ValueError(
+                f"unknown mode {mode!r}: expected 'auto', 'wand', "
+                "'conj', or 'taat'")
+        if mode in ("conj", "conj_auto") and not _is_flat_and(q):
+            raise ValueError(
+                "mode='conj' requires a flat AND-of-terms query; "
+                "use mode='auto' or 'taat' for nested trees")
+        if mode in ("wand", "wand_auto") and not _is_flat_or(q):
+            raise ValueError(
+                "mode='wand' requires a flat OR-of-terms query; "
+                "use mode='auto' or 'taat' for nested trees")
+        strategy = mode
+    return SearchSpec(terms, strategy, msm, frozenset(neg_terms),
+                      exclude_json, after, empty)
 
 
 def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
@@ -533,60 +617,13 @@ class SearchEngine:
         quorum filter runs before each segment's top-k heap, which a
         pruned scorer's threshold bookkeeping would make lossy).
         """
-        terms = q.terms()
-        if not terms:
+        spec = resolve_search_spec(q, mode, boosts, after, exclude,
+                                   min_should_match)
+        if spec.empty:
             return self._empty_hits(hydrate)
-        msm = int(min_should_match)
-        if msm > 1:
-            if not _is_flat_or(q):
-                raise ValueError(
-                    "min_should_match requires a flat OR-of-terms query "
-                    "(the quorum counts should clauses)")
-            if mode not in ("auto", "taat"):
-                raise ValueError(
-                    "min_should_match requires mode='auto' or 'taat'")
-            if msm > len(set(terms)):
-                return self._empty_hits(hydrate)
-            mode = "taat"
-        neg_terms: set[str] = set()
-        exclude_json = None
-        if exclude is not None:
-            neg_terms = set(exclude.terms()) - set(terms)
-            if exclude.terms():
-                exclude_json = exclude.to_json()
-                if mode not in ("auto", "taat"):
-                    raise ValueError(
-                        "exclude requires mode='auto' or 'taat' (pruned "
-                        "scorers cannot exclude losslessly)")
-                mode = "taat"
-        if boosts:
-            bad = {t: w for t, w in boosts.items() if not w > 0}
-            if bad:
-                raise ValueError(f"boosts must be > 0: {bad}")
-        if after is not None:
-            after = (float(after[0]), int(after[1]))
-        if mode == "auto":
-            strategy = ("wand_auto" if _is_flat_or(q)
-                        else "conj_auto" if _is_flat_and(q) else "taat")
-        else:
-            # explicit pruned modes are only defined for flat queries —
-            # silently flattening And(Or(a,b), c) into an intersection of
-            # all leaves would return wrong results with no error. The
-            # check covers the internal '*_auto' spellings too so no mode
-            # string can smuggle a nested tree past the guard.
-            if mode not in ("wand", "conj", "taat", "wand_auto", "conj_auto"):
-                raise ValueError(
-                    f"unknown mode {mode!r}: expected 'auto', 'wand', "
-                    "'conj', or 'taat'")
-            if mode in ("conj", "conj_auto") and not _is_flat_and(q):
-                raise ValueError(
-                    "mode='conj' requires a flat AND-of-terms query; "
-                    "use mode='auto' or 'taat' for nested trees")
-            if mode in ("wand", "wand_auto") and not _is_flat_or(q):
-                raise ValueError(
-                    "mode='wand' requires a flat OR-of-terms query; "
-                    "use mode='auto' or 'taat' for nested trees")
-            strategy = mode
+        terms, strategy, msm = spec.terms, spec.strategy, spec.msm
+        neg_terms, exclude_json = spec.neg_terms, spec.exclude_json
+        after = spec.after
         kern = _make_topk_kernel(
             q.to_json(), int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             k, on, off, tuple(or_flags), self.stats["k1"], self.stats["b"],

@@ -1,0 +1,277 @@
+"""Resident single-node serving tier: BM25 top-k without a Spark job.
+
+The reference serves queries from worker processes that keep their index
+shard RESIDENT in process memory (``index_service/sentinel.go:137-187``
+scatter-gathers RPCs over workers; each worker answers from its in-memory
+reverse index, ``index_service/worker.go``). The Spark engine's
+:meth:`SearchEngine.search` is the cluster scatter-gather analog, but a
+solo call pays one Spark job of scheduler latency (~0.3-0.5 s) no matter
+how few bytes the pruned scan touches — the right cost model for
+analytics and batch serving (``search_many``), the wrong one for a
+point-query serving tier.
+
+:class:`LocalSearcher` is that serving tier. It reads the SAME on-disk
+index through pyarrow's dataset API — partition-pruned to the query
+terms' ``bucket=`` directories (v5 layout), row-group-pruned by the
+term-sorted file statistics, i.e. exactly the reads the Spark plan
+performs, minus the scheduler — and scores with the SAME
+``_score_segment_rows`` numpy kernels the executor kernels run, via the
+SAME ``resolve_search_spec`` strategy resolution. Every result is
+therefore rank- AND score-identical to ``SearchEngine.search``
+(tests/test_local_serving.py asserts bitwise equality across modes,
+boosts, paging cursors, excludes, and quorums; the ``bm25_local_top10``
+driver query certifies it against the DuckDB oracle).
+
+Hot terms' postings stay resident across calls (raw rows + encoded /
+decoded forms, LRU-bounded by ``max_terms``), so repeated-term workloads
+serve at kernel speed — the resident-index property the reference's
+workers have by construction.
+
+Scale story: nothing here is driver-specific. At the 10^12-doc design
+point this class IS the per-shard serving worker — one long-lived
+process per index shard (a shard = a subtree of segment directories),
+its hot postings resident, behind any RPC fabric; the scatter-gather on
+top is the reference's sentinel shape. The same bytes stay queryable by
+the Spark path for analytics — one index, two latency tiers.
+
+Staleness: maintenance (upsert/delete/force_merge) rewrites
+``stats.json``; the searcher records its mtime at open and raises
+:class:`StaleIndexError` when it changes, mirroring the reference's
+index-reload-then-reopen discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+
+from quicker_spark.engine import (
+    _row_to_encoded,
+    _score_segment_rows,
+    resolve_search_spec,
+)
+from quicker_spark.functions.buckets import term_bucket
+from quicker_spark.plans.term_query import TermQuery
+
+
+class StaleIndexError(RuntimeError):
+    """The index was mutated (stats.json changed) after this searcher
+    opened it; re-open a fresh LocalSearcher on the new generation."""
+
+
+class LocalSearcher:
+    """Serve BM25 top-k point queries from an index directory built by
+    :func:`quicker_spark.operators.build.build_index` — no SparkSession,
+    no Spark job; pyarrow pruned reads + the engine's numpy kernels.
+
+    ``max_terms`` bounds the resident cache (LRU over terms; a term's
+    residency = its raw posting rows + encoded/decoded kernel forms).
+    """
+
+    def __init__(self, index_dir: str, max_terms: int = 65536):
+        import pyarrow.dataset as pads
+
+        self.index_dir = index_dir
+        self._stats_path = os.path.join(index_dir, "stats.json")
+        with open(self._stats_path) as fh:
+            self.stats = json.load(fh)
+        self._stats_mtime = os.path.getmtime(self._stats_path)
+        self._post_ds = pads.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive")
+        self._ts_ds = pads.dataset(os.path.join(index_dir, "term_stats"))
+        self._docs_ds = pads.dataset(
+            os.path.join(index_dir, "docs"), partitioning="hive")
+        self._n_buckets = int(self.stats.get("term_buckets") or 0)
+        self._has_bucket = ("bucket" in self._post_ds.schema.names
+                            and self._n_buckets > 1)
+        self.max_terms = int(max_terms)
+        # resident state, all keyed/evicted by term (LRU)
+        self._rows: OrderedDict[str, pd.DataFrame] = OrderedDict()
+        self._df_global: dict[str, int] = {}
+        self._seg_enc: dict[int, dict] = {}   # segment -> {term: Encoded}
+        self._seg_dec: dict[int, dict] = {}   # segment -> {term: decoded}
+
+    # -- residency ----------------------------------------------------------
+    def _check_fresh(self) -> None:
+        try:
+            m = os.path.getmtime(self._stats_path)
+        except FileNotFoundError:
+            raise StaleIndexError(f"index gone: {self.index_dir}")
+        if m != self._stats_mtime:
+            raise StaleIndexError(
+                "index mutated since open (stats.json changed); "
+                "re-open a LocalSearcher on the new generation")
+
+    def _evict_to_cap(self) -> None:
+        while len(self._rows) > self.max_terms:
+            term, _ = self._rows.popitem(last=False)
+            self._df_global.pop(term, None)
+            for seg_cache in self._seg_enc.values():
+                seg_cache.pop(term, None)
+            for seg_cache in self._seg_dec.values():
+                seg_cache.pop(term, None)
+
+    def _ensure_terms(self, terms: set[str]) -> dict[str, pd.DataFrame]:
+        """Fetch every missing term's posting rows + df_global in ONE
+        pruned pyarrow read each; absent terms negative-cache an empty
+        frame so repeats never re-read. Returns a {term: rows} snapshot
+        taken BEFORE eviction, so the current query keeps its inputs even
+        when ``max_terms`` is smaller than the query's own term count."""
+        import pyarrow.compute as pc
+
+        missing = sorted(t for t in terms if t not in self._rows)
+        for t in terms - set(missing):
+            self._rows.move_to_end(t)
+        if not missing:
+            self._dfg_live = {t: self._df_global[t] for t in terms}
+            return {t: self._rows[t] for t in terms}
+        filt = pc.field("term").isin(missing)
+        if self._has_bucket:
+            # directory-level pruning: same PartitionFilters the Spark
+            # plan gets from _bucket_filter
+            bks = sorted({term_bucket(t, self._n_buckets) for t in missing})
+            filt = pc.field("bucket").isin(bks) & filt
+        pdf = self._post_ds.to_table(filter=filt).to_pandas()
+        ts = self._ts_ds.to_table(
+            filter=pc.field("term").isin(missing),
+            columns=["term", "df_global"]).to_pandas()
+        dfg = dict(zip(ts["term"], ts["df_global"].astype(np.int64)))
+        for t in missing:
+            rows = pdf[pdf["term"] == t]
+            self._rows[t] = rows
+            # engine: left join + fillna(0) — absent terms score df 0
+            self._df_global[t] = int(dfg.get(t, 0))
+        snapshot = {t: self._rows[t] for t in terms}
+        self._dfg_live = {t: self._df_global[t] for t in terms}
+        self._evict_to_cap()
+        return snapshot
+
+    def _gather(self, scan_terms: set[str]) -> pd.DataFrame:
+        """Assemble the kernel input frame: one row per (segment, term in
+        scan_terms) with df_global attached — the same rows the Spark
+        path's pruned scan + broadcast term-stats join produces."""
+        rows = self._ensure_terms(scan_terms)
+        frames = [rows[t] for t in sorted(scan_terms) if len(rows[t])]
+        if not frames:
+            return pd.DataFrame()
+        pdf = pd.concat(frames, ignore_index=True)
+        # df lookups go through the live-query snapshot: eviction under a
+        # tiny max_terms cap must never starve the query that triggered it
+        pdf["df_global"] = (pdf["term"].map(self._dfg_live)
+                            .astype(np.int64))
+        return pdf
+
+    # -- serving ------------------------------------------------------------
+    def search(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
+               or_flags: tuple = (), mode: str = "auto",
+               boosts: dict[str, float] | None = None,
+               after: tuple[float, int] | None = None,
+               exclude: TermQuery | None = None,
+               min_should_match: int = 0) -> pd.DataFrame:
+        """BM25 top-k -> pandas (doc_id, score), ordered (score desc,
+        doc_id asc) — same contract, arguments, validation errors, and
+        bitwise scores as :meth:`SearchEngine.search`."""
+        self._check_fresh()
+        spec = resolve_search_spec(q, mode, boosts, after, exclude,
+                                   min_should_match)
+        if spec.empty:
+            return _empty_hits()
+        query = json.loads(q.to_json())
+        exclude_tree = (json.loads(spec.exclude_json)
+                        if spec.exclude_json else None)
+        pdf = self._gather(set(spec.terms) | set(spec.neg_terms))
+        if len(pdf) == 0:
+            return _empty_hits()
+        out_ids, out_scores = [], []
+        for seg, g in pdf.groupby("segment_id", sort=False):
+            seg = int(seg)
+            ids, scores = _score_segment_rows(
+                g, query, spec.strategy, len(spec.terms),
+                int(self.stats["n_docs"]), float(self.stats["avgdl"]),
+                k, on, off, tuple(or_flags),
+                float(self.stats["k1"]), float(self.stats["b"]),
+                int(self.stats["block_size"]),
+                enc_cache=self._seg_enc.setdefault(seg, {}),
+                dec_cache=self._seg_dec.setdefault(seg, {}),
+                boosts=boosts, after=spec.after, exclude=exclude_tree,
+                exclude_only=spec.neg_terms, min_match=spec.msm)
+            out_ids.append(ids)
+            out_scores.append(scores)
+        ids = np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)
+        scores = (np.concatenate(out_scores) if out_scores
+                  else np.empty(0, np.float64))
+        # global merge = orderBy(score desc, doc_id asc).limit(k)
+        order = np.lexsort((ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
+                             "score": scores[order]})
+
+    def search_many(self, queries: dict[str, TermQuery], k: int = 10,
+                    **kwargs) -> pd.DataFrame:
+        """Batch point serving -> (qid, doc_id, score) ordered (qid asc,
+        score desc, doc_id asc). Unlike the Spark ``search_many`` (whose
+        win is amortizing ONE scan+job over the batch), the local batch
+        is just a loop — the resident cache already amortizes the reads;
+        per-query kwargs follow :meth:`SearchEngine.search_many`'s
+        ``flags``/``boosts``/``after``/``excludes``/``min_should_match``
+        maps."""
+        flags = kwargs.get("flags") or {}
+        boosts = kwargs.get("boosts") or {}
+        after = kwargs.get("after") or {}
+        excludes = kwargs.get("excludes") or {}
+        msm = kwargs.get("min_should_match") or {}
+        on, off = int(kwargs.get("on", 0)), int(kwargs.get("off", 0))
+        orf = tuple(kwargs.get("or_flags", ()))
+        frames = []
+        for qid in sorted(queries, key=str):
+            q_on, q_off, q_orf = flags.get(qid, (on, off, orf))
+            hits = self.search(
+                queries[qid], k=k, on=q_on, off=q_off, or_flags=q_orf,
+                boosts=boosts.get(qid), after=after.get(qid),
+                exclude=excludes.get(qid),
+                min_should_match=int(msm.get(qid, 0)))
+            if len(hits):
+                hits.insert(0, "qid", str(qid))
+                frames.append(hits)
+        if not frames:
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    def lookup(self, doc_ids: list[int]) -> pd.DataFrame:
+        """Forward-index batch get -> pandas rows, doc_id ascending;
+        missing ids absent. Same segment-directory pruning as
+        :meth:`SearchEngine.lookup` (ids' segment set -> partition
+        filter, doc_id IN -> row-group pruning)."""
+        import pyarrow.compute as pc
+
+        self._check_fresh()
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            return pd.DataFrame()
+        seg_docs = int(self.stats["seg_docs"])
+        segs = sorted({i // seg_docs for i in ids})
+        pdf = self._docs_ds.to_table(
+            filter=(pc.field("segment_id").isin(segs)
+                    & pc.field("doc_id").isin(ids))).to_pandas()
+        return pdf.sort_values("doc_id", ignore_index=True)
+
+    def hydrate(self, hits: pd.DataFrame,
+                cols: tuple[str, ...] | None = None) -> pd.DataFrame:
+        """Attach forward-index columns to a hits frame, hit order
+        preserved (point-read; hits are k-row serving results)."""
+        if len(hits) == 0:
+            return hits
+        docs = self.lookup(hits["doc_id"].tolist())
+        if cols is not None:
+            docs = docs[["doc_id", *[c for c in cols if c != "doc_id"]]]
+        return hits.merge(docs, on="doc_id", how="left", sort=False)
+
+
+def _empty_hits() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                         "score": pd.Series([], dtype=np.float64)})
