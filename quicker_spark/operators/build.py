@@ -876,7 +876,11 @@ def _build_index_body(spark: SparkSession, corpus: DataFrame, out_dir: str,
                     if s not in done.union(s for w in waves for s in w)]
     if all_done and (waves or not _success(os.path.join(out_dir, "term_stats"))):
         posts = spark.read.parquet(os.path.join(out_dir, "postings"))
+        # term-sorted files: any term IN-filter read (query-path broadcast
+        # prune, LocalSearcher's cold stats fetch) skips row groups by
+        # min/max stats instead of scanning the whole vocabulary
         (posts.groupBy("term").agg(F.sum("df").alias("df_global"))
+              .sortWithinPartitions("term")
               .write.mode("overwrite")
               .parquet(os.path.join(out_dir, "term_stats")))
     term_stats_secs = time.time() - t_ts

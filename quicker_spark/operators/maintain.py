@@ -339,7 +339,8 @@ def _stage_delta_term_stats(spark: SparkSession, index_dir: str,
         .filter(F.col("df_global") > 0)
     )
     staging = os.path.join(index_dir, _TS_STAGING)
-    merged.write.mode("overwrite").parquet(staging)
+    # keep the build's term-sorted-files property across maintenance
+    merged.sortWithinPartitions("term").write.mode("overwrite").parquet(staging)
     return True
 
 

@@ -70,9 +70,20 @@ class LocalSearcher:
 
     ``max_terms`` bounds the resident cache (LRU over terms; a term's
     residency = its raw posting rows + encoded/decoded kernel forms).
+
+    ``threads`` scores a query's segments concurrently (default: up to 8
+    or the machine's cores). Segments are disjoint and the global merge
+    is a total order on (score desc, doc_id asc), so completion order
+    cannot change results — rank identity holds at any thread count
+    (tested). The kernels are numpy-vectorized, so the GIL is released
+    for the decode/score inner loops; one searcher instance still serves
+    ONE query at a time (the per-segment caches are not locked against
+    concurrent queries — give each serving thread its own instance, the
+    reference's one-index-per-worker shape).
     """
 
-    def __init__(self, index_dir: str, max_terms: int = 65536):
+    def __init__(self, index_dir: str, max_terms: int = 65536,
+                 threads: int | None = None):
         import pyarrow.dataset as pads
 
         self.index_dir = index_dir
@@ -89,6 +100,8 @@ class LocalSearcher:
         self._has_bucket = ("bucket" in self._post_ds.schema.names
                             and self._n_buckets > 1)
         self.max_terms = int(max_terms)
+        self.threads = (min(8, os.cpu_count() or 1)
+                        if threads is None else max(1, int(threads)))
         # resident state, all keyed/evicted by term (LRU)
         self._rows: OrderedDict[str, pd.DataFrame] = OrderedDict()
         self._df_global: dict[str, int] = {}
@@ -186,10 +199,11 @@ class LocalSearcher:
         pdf = self._gather(set(spec.terms) | set(spec.neg_terms))
         if len(pdf) == 0:
             return _empty_hits()
-        out_ids, out_scores = [], []
-        for seg, g in pdf.groupby("segment_id", sort=False):
-            seg = int(seg)
-            ids, scores = _score_segment_rows(
+        groups = [(int(seg), g)
+                  for seg, g in pdf.groupby("segment_id", sort=False)]
+
+        def _one(seg: int, g: pd.DataFrame):
+            return _score_segment_rows(
                 g, query, spec.strategy, len(spec.terms),
                 int(self.stats["n_docs"]), float(self.stats["avgdl"]),
                 k, on, off, tuple(or_flags),
@@ -199,8 +213,19 @@ class LocalSearcher:
                 dec_cache=self._seg_dec.setdefault(seg, {}),
                 boosts=boosts, after=spec.after, exclude=exclude_tree,
                 exclude_only=spec.neg_terms, min_match=spec.msm)
-            out_ids.append(ids)
-            out_scores.append(scores)
+
+        if self.threads > 1 and len(groups) > 1:
+            # the reference's per-worker scatter: disjoint segments score
+            # concurrently (numpy kernels release the GIL); the total-
+            # order merge below makes completion order irrelevant
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(self.threads, len(groups))) as ex:
+                parts = list(ex.map(lambda sg: _one(*sg), groups))
+        else:
+            parts = [_one(seg, g) for seg, g in groups]
+        out_ids = [p[0] for p in parts]
+        out_scores = [p[1] for p in parts]
         ids = np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)
         scores = (np.concatenate(out_scores) if out_scores
                   else np.empty(0, np.float64))

@@ -150,6 +150,27 @@ def main() -> None:
             boosts={"boosted": {"content\x01return": 3.0}},
             min_should_match={"quorum": 2}).count())
 
+    # -- resident local tier at scale (serving.LocalSearcher) ---------------
+    # same index bytes, no Spark job: cold = open + first bucket-pruned
+    # pyarrow read of the query terms across all segments; warm = resident
+    # cache; local_batch = the same heterogeneous batch served from cache
+    from quicker_spark.serving import LocalSearcher
+
+    t0 = time.time()
+    ls = LocalSearcher(out)
+    ls.search(or_q, k=10)
+    local_cold_first = time.time() - t0
+    loc_lats = []
+    for _r in range(args.reps):
+        for kind, terms in QUERIES:
+            t0 = time.time()
+            ls.search(make(kind, terms), k=10)
+            loc_lats.append(time.time() - t0)
+    loc_lats.sort()
+    t0 = time.time()
+    ls.search_many(batch, k=10)
+    local_batch_warm = time.time() - t0
+
     print(json.dumps({
         "docs": args.docs, "segments": rep.n_segments, "cpus": args.cpus,
         "build_secs": round(build_secs, 1),
@@ -160,6 +181,13 @@ def main() -> None:
         "sequential_secs": round(seq_secs, 3),
         "sequential_qps": round(args.batch / seq_secs, 1),
         "round4_surface": extras,
+        "local_tier": {
+            "cold_first_sec": round(local_cold_first, 3),
+            "warm_p50_sec": round(statistics.median(loc_lats), 4),
+            "warm_max_sec": round(loc_lats[-1], 4),
+            "batch_warm_sec": round(local_batch_warm, 3),
+            "batch_warm_qps": round(args.batch / local_batch_warm, 1),
+        },
     }))
     shutil.rmtree(out, ignore_errors=True)
 

@@ -141,6 +141,15 @@ def test_lru_eviction_keeps_results_correct(idx, eng):
     _assert_same(eng.search(q, k=7), ls.search(q, k=7))
 
 
+def test_threaded_segment_scatter_identity(idx, eng):
+    """Thread-parallel segment scoring is rank/score-identical at any
+    thread count (total-order merge makes completion order irrelevant)."""
+    q = Or(_t("def"), _t("return"), _t("import"))
+    want = eng.search(q, k=9)
+    for n in (1, 2, 8):
+        _assert_same(want, LocalSearcher(idx, threads=n).search(q, k=9))
+
+
 def test_search_many_identity(eng, ls):
     qs = {"a": Or(_t("def"), _t("return")), "b": And(_t("def"), _t("import"))}
     got = ls.search_many(qs, k=6)
