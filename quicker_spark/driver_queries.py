@@ -334,6 +334,34 @@ SQL_MINHASH_MINS = ", ".join(
     f"min(h1 + {i} * h2) AS sig_{i}" for i in range(8)
 )
 
+# MinHash-LSH candidate pairs (a < b), shared by the `lsh_candidates`
+# oracle and the connected-components twins built on top of it
+SQL_LSH_PAIRS = (
+    f"WITH sh AS ({SQL_SHINGLE_HASHES}), "
+    f"sig AS (SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id), "
+    "band AS ("
+    + " UNION ALL ".join(
+        "SELECT doc_id, md5('{b},' || sig_{i}::varchar || ',' || "
+        "sig_{j}::varchar) AS band_key FROM sig".format(b=b, i=2 * b, j=2 * b + 1)
+        for b in range(4)
+    )
+    + ") SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM band a "
+    "JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+)
+
+# transitive closure over the pair graph: min reachable id per node ==
+# the component minimum (components are near-dup groups — small — so the
+# closure is toy-sized at oracle scale; the ENGINE side never builds it)
+SQL_CC = (
+    "sym AS (SELECT a AS u, b AS v FROM pairs "
+    "UNION ALL SELECT b, a FROM pairs), "
+    "walk(node, lab) AS ("
+    "SELECT u, u FROM sym "
+    "UNION "
+    "SELECT s.u, w.lab FROM sym s JOIN walk w ON s.v = w.node), "
+    "cc AS (SELECT node, min(lab) AS lab FROM walk GROUP BY node)"
+)
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -1094,6 +1122,35 @@ def q_lsh_candidates(spark, sf_dir):
     return textops.lsh_candidate_pairs(sigs, k=8, bands=4)
 
 
+def _lsh_pairs(spark, sf_dir):
+    sigs = textops.minhash_signatures(documents(spark, sf_dir), k=8)
+    return textops.lsh_candidate_pairs(sigs, k=8, bands=4)
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: connected components over the
+    MinHash-LSH candidate pairs via alternating large-star/small-star
+    (Kiveris et al. SoCC'14) — transitive closure the pair operators
+    stop short of (a~b, b~c => {a,b,c} one group even when (a,c) never
+    collided in a band). cluster_id = the component's min doc_id. The
+    oracle is a DuckDB recursive-CTE transitive closure over the SAME
+    pair SQL — feasible at oracle scale only because near-dup
+    components are small; the engine side never materializes it."""
+    from quicker_spark.operators import dedup
+    return dedup.connected_components(_lsh_pairs(spark, sf_dir))
+
+
+def q_near_dedup_keep(spark, sf_dir):
+    """End-to-end near-dedup: the corpus with non-canonical cluster
+    members removed — keep each cluster's min-doc_id representative
+    plus every singleton. One anti-join over the corpus after the
+    star-contraction rounds."""
+    from quicker_spark.operators import dedup
+    docs = documents(spark, sf_dir)
+    kept = dedup.dedup_near(docs, _lsh_pairs(spark, sf_dir))
+    return kept.select("doc_id")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     j = textops.jaccard_window_pairs(documents(spark, sf_dir), max_gap=2)
     return j.select("a", "b", x4(F.col("jac")).alias("jac_x4"))
@@ -1302,6 +1359,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_sig": q_minhash_sig,
     "lsh_candidates": q_lsh_candidates,
+    "dup_clusters": q_dup_clusters,
+    "near_dedup_keep": q_near_dedup_keep,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash16": q_simhash16,
     "fingerprint": q_fingerprint,
@@ -1730,17 +1789,15 @@ ORDER BY score DESC, doc_id LIMIT 10
         f"WITH sh AS ({SQL_SHINGLE_HASHES}) "
         f"SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id"
     ),
-    "lsh_candidates": (
-        f"WITH sh AS ({SQL_SHINGLE_HASHES}), "
-        f"sig AS (SELECT doc_id, {SQL_MINHASH_MINS} FROM sh GROUP BY doc_id), "
-        "band AS ("
-        + " UNION ALL ".join(
-            "SELECT doc_id, md5('{b},' || sig_{i}::varchar || ',' || "
-            "sig_{j}::varchar) AS band_key FROM sig".format(b=b, i=2 * b, j=2 * b + 1)
-            for b in range(4)
-        )
-        + ") SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM band a "
-        "JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    "lsh_candidates": SQL_LSH_PAIRS,
+    "dup_clusters": (
+        f"WITH RECURSIVE pairs AS ({SQL_LSH_PAIRS}), {SQL_CC} "
+        "SELECT node AS doc_id, lab AS cluster_id FROM cc"
+    ),
+    "near_dedup_keep": (
+        f"WITH RECURSIVE pairs AS ({SQL_LSH_PAIRS}), {SQL_CC} "
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT node FROM cc WHERE node <> lab)"
     ),
     "jaccard_pairs": (
         f"WITH arr0 AS ({SQL_ARR}), "
