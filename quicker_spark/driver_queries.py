@@ -680,6 +680,36 @@ def q_hybrid_top10(spark, sf_dir):
     return out.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+def q_rrf_top10(spark, sf_dir):
+    """Reciprocal-rank fusion over the same two recall strategies as
+    `hybrid_top10` (BM25 AND + exact cosine): score(d) = sum over lists
+    of 1/(60 + rank_d) — the calibration-free hybrid merge (Cormack et
+    al. SIGIR'09), fusing text relevance with embedding similarity
+    without comparing raw score scales. The oracle ranks each side with
+    row_number over the certified BM25/cosine SQL and sums the
+    reciprocal ranks."""
+    from quicker_spark.plans.searcher import (
+        KeywordRecaller, SearchContext, Searcher, VectorRecaller)
+
+    eng = get_engine(spark, sf_dir)
+
+    def vec_topk(_eng, ctx, k):
+        c = simsearch.cosine_topk(embeddings(spark, sf_dir),
+                                  query_id=int(ctx.extra["vec_query"]), k=k)
+        return c.select(F.col("vec_id").alias("doc_id"),
+                        F.col("cos").alias("score"))
+
+    ctx = SearchContext(keywords=HYBRID_KEYWORDS, extra={"vec_query": 0})
+    s = Searcher(engine=eng,
+                 recallers=(KeywordRecaller(), VectorRecaller(vec_topk)),
+                 fusion="rrf")
+    out = s.search(ctx, k=10)
+    return out.select(
+        "doc_id",
+        F.round(F.col("score") * F.lit(1000000.0)).cast("long")
+        .alias("rrf_x6"))
+
+
 PHRASE_TERMS = ("table", "hash")
 PREFIX = "s"
 
@@ -1338,6 +1368,7 @@ QUERIES = {
     "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
+    "rrf_top10": q_rrf_top10,
     "searcher_top10": q_searcher_top10,
     "delete_then_search": q_delete_then_search,
     "upsert_then_search": q_upsert_then_search,
@@ -1431,6 +1462,40 @@ WITH u AS (
 ded AS (SELECT doc_id, max(score) AS score FROM u GROUP BY doc_id)
 SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM ded
 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+# reciprocal-rank fusion over the same two recall lists: rank each side
+# 1-based by (score desc, doc_id asc), fuse with sum(1/(60+rank)).
+# Rank-only fusion means the oracle needs only the SIDES' orderings to
+# match the engine (already certified by hybrid_top10's components) —
+# raw score scales cancel out.
+SQL_RRF = f"""
+WITH kw AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({sql_bm25_topk(HYBRID_KEYWORDS, require_all=True,
+                       project=("SELECT doc_id, score FROM scores "
+                                "ORDER BY score DESC, doc_id "
+                                "LIMIT 10"))})
+),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM (
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id AS doc_id,
+           list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) *
+           sqrt(list_dot_product(q.qv, q.qv))) AS score
+    FROM e, q WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id LIMIT 10)
+),
+u AS (SELECT * FROM kw UNION ALL SELECT * FROM vec),
+fused AS (SELECT doc_id, sum(1.0 / (60.0 + r)) AS score
+          FROM u GROUP BY doc_id)
+SELECT doc_id, round(score * 1000000.0)::bigint AS rrf_x6
+FROM fused ORDER BY score DESC, doc_id LIMIT 10
 """
 
 _SQL_SYN_VALUES = ", ".join(
@@ -1673,6 +1738,7 @@ ORDER BY score DESC, doc_id LIMIT 10
         "GROUP BY lang ORDER BY n DESC, lang"
     ),
     "hybrid_top10": SQL_HYBRID,
+    "rrf_top10": SQL_RRF,
     "bm25_batch_top10": " UNION ALL ".join(
         "SELECT * FROM ({q}) AS b_{qid}".format(
             qid=qid,

@@ -138,24 +138,79 @@ def range_filter(col: str, lo, hi) -> Filter:
     return apply
 
 
+def rrf_fuse(frames: list[DataFrame], c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Büttcher SIGIR'09) over
+    per-strategy hit frames: ``score(d) = Σ_lists 1/(c + rank_d)`` with
+    rank 1-based by (score desc, doc_id asc) WITHIN each list. Rank
+    fusion is scale-free — it merges BM25 scores with cosine scores
+    without any cross-strategy calibration, which is why it is the
+    standard hybrid-retrieval merge.
+
+    Non-score columns ride along from each doc's best-ranked occurrence.
+    The per-list rank window is GLOBAL (single partition) by design:
+    every input frame is a k-row post-limit hit list, so the window sees
+    k rows, never corpus data — same contract as the merge itself. The
+    fused sum is order-independent in IEEE terms for the common 2-list
+    case (one addition); 3+ lists sum in ascending-contribution order
+    via a sorted array fold so the result stays engine-reproducible.
+    """
+    ranked = []
+    for f in frames:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked.append(f.withColumn("_rank", F.row_number().over(w)))
+    merged = ranked[0]
+    for f in ranked[1:]:
+        merged = merged.unionByName(f)
+    contrib = F.lit(1.0) / (F.lit(float(c)) + F.col("_rank"))
+    w_pick = Window.partitionBy("doc_id").orderBy(F.asc("_rank"),
+                                                  F.desc("score"))
+    w_sum = Window.partitionBy("doc_id")
+    return (merged
+            .withColumn("_c", contrib)
+            # deterministic fold order: sum the per-list contributions
+            # ascending (sort_array over the collected doubles)
+            .withColumn("_cs", F.sort_array(F.collect_list("_c").over(w_sum)))
+            .withColumn("_rrf", F.aggregate(
+                "_cs", F.lit(0.0), lambda acc, x: acc + x))
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .withColumn("score", F.col("_rrf"))
+            .drop("_rank", "_c", "_cs", "_rrf", "_rn"))
+
+
 @dataclass
 class Searcher:
     """Template method: Recall -> merge/dedup -> Filter chain
-    (reference: searcher.go:87-98)."""
+    (reference: searcher.go:87-98).
+
+    ``fusion`` picks the merge: ``"best_score"`` (default — max-score
+    business-id dedup, the reference's channel-merge made deterministic)
+    or ``"rrf"`` (reciprocal-rank fusion via :func:`rrf_fuse` — the
+    calibration-free hybrid merge for mixing BM25 with vector recall).
+    """
 
     engine: SearchEngine
     recallers: tuple[Recaller, ...] = (KeywordRecaller(),)
     filters: tuple[Filter, ...] = ()
+    fusion: str = "best_score"
+    rrf_c: int = 60
 
     def search(self, ctx: SearchContext, k: int = 10) -> DataFrame:
         frames = [r.recall(self.engine, ctx, k) for r in self.recallers]
-        merged = frames[0]
-        for f in frames[1:]:
-            merged = merged.unionByName(f)
-        # dedup by business id, keep the best-scored occurrence
-        w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("doc_id"))
-        out = (merged.withColumn("_rn", F.row_number().over(w))
-                     .filter(F.col("_rn") == 1).drop("_rn"))
+        if self.fusion == "rrf":
+            out = rrf_fuse(frames, c=self.rrf_c)
+        elif self.fusion == "best_score":
+            merged = frames[0]
+            for f in frames[1:]:
+                merged = merged.unionByName(f)
+            # dedup by business id, keep the best-scored occurrence
+            w = Window.partitionBy("id").orderBy(F.desc("score"),
+                                                 F.asc("doc_id"))
+            out = (merged.withColumn("_rn", F.row_number().over(w))
+                         .filter(F.col("_rn") == 1).drop("_rn"))
+        else:
+            raise ValueError(f"unknown fusion {self.fusion!r} "
+                             "(expected 'best_score' or 'rrf')")
         for flt in self.filters:
             out = flt(out)
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

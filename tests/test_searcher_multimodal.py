@@ -58,6 +58,55 @@ def test_empty_query_recall(eng):
     assert s.search(SearchContext(keywords=("def",)), k=5).count() == 0
 
 
+def test_rrf_fuse_math(spark):
+    from quicker_spark.plans.searcher import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0, "x"), (2, 5.0, "y"), (3, 1.0, "z")],
+        "doc_id long, score double, id string")
+    b = spark.createDataFrame(
+        [(2, 0.9, "y"), (4, 0.5, "w")],
+        "doc_id long, score double, id string")
+    got = {r["doc_id"]: r["score"] for r in rrf_fuse([a, b], c=60).collect()}
+    # ranks: a -> 1:1, 2:2, 3:3 ; b -> 2:1, 4:2
+    assert got[1] == pytest.approx(1 / 61)
+    assert got[2] == pytest.approx(1 / 62 + 1 / 61)
+    assert got[3] == pytest.approx(1 / 63)
+    assert got[4] == pytest.approx(1 / 62)
+    # doc 2 fused above the singleton rank-1 doc — RRF rewards agreement
+    order = sorted(got, key=lambda d: (-got[d], d))
+    assert order[0] == 2
+    # ride-along columns survive (one row per doc, no dup)
+    rows = rrf_fuse([a, b]).collect()
+    assert len(rows) == 4 and all(r["id"] for r in rows)
+
+
+def test_searcher_rrf_matches_manual_fusion(eng):
+    recallers = (KeywordRecaller(), KeywordAuthorRecaller())
+    ctx = SearchContext(keywords=("def", "return"),
+                        extra={"user_name": "org3"})
+    s = Searcher(eng, recallers=recallers, fusion="rrf")
+    got = [(r["doc_id"], r["score"]) for r in s.search(ctx, k=5).collect()]
+    assert 0 < len(got) <= 5
+    # manual fusion from the individual recalls
+    fused = {}
+    for rec in recallers:
+        hits = sorted(rec.recall(eng, ctx, 5).collect(),
+                      key=lambda r: (-r["score"], r["doc_id"]))
+        for rank, r in enumerate(hits, 1):
+            fused[r["doc_id"]] = fused.get(r["doc_id"], 0.0) + 1 / (60 + rank)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws)
+
+
+def test_searcher_unknown_fusion_raises(eng):
+    s = Searcher(eng, fusion="nope")
+    with pytest.raises(ValueError, match="unknown fusion"):
+        s.search(SearchContext(keywords=("def",)), k=5)
+
+
 # -- multimodal ---------------------------------------------------------------
 
 @pytest.fixture(scope="module")
