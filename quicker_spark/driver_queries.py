@@ -946,6 +946,26 @@ def q_facet_histogram(spark, sf_dir):
                                on_col="doc_len", width=10)
 
 
+def q_facet_quantiles(spark, sf_dir):
+    """Percentiles facet (ES percentiles aggregation): continuous
+    quantiles of doc_len over the FULL match set of a single-term
+    query. Dyadic percentiles (k/2^m) + integer doc_len make the
+    linear interpolation exact in double precision, so Spark's exact
+    `percentile` aggregate and DuckDB's `quantile_cont` are
+    bit-identical. The exact aggregate's buffer is a counts-map over
+    the column's distinct values — O(|domain|) per group, not O(n),
+    so the same plan holds at the 100 TB shape for bounded-domain
+    columns (percentile_approx is the high-cardinality escape)."""
+    eng = get_engine(spark, sf_dir)
+    out = eng.facet_percentiles(NewTermQuery("content", "table"),
+                                on_col="doc_len",
+                                percentiles=(0.25, 0.5, 0.75, 0.875))
+    return out.select(
+        F.round(F.col("pct") * F.lit(1000.0)).cast("long").alias("pct_x3"),
+        F.round(F.col("value") * F.lit(10000.0)).cast("long")
+        .alias("val_x4"))
+
+
 def q_facet_stats(spark, sf_dir):
     """Numeric stats facet (ES stats-aggregation): per-lang count / min
     / max / sum of doc_len over the FULL match set of an AND query. One
@@ -1365,6 +1385,7 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "facet_stats": q_facet_stats,
     "facet_histogram": q_facet_histogram,
+    "facet_quantiles": q_facet_quantiles,
     "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
@@ -1715,6 +1736,20 @@ ORDER BY score DESC, doc_id LIMIT 10
         "SELECT (dl // 10 * 10)::bigint AS bucket, count(*)::bigint AS n "
         "FROM dl WHERE doc_id IN (SELECT doc_id FROM cand) "
         "GROUP BY bucket ORDER BY bucket"
+    ),
+    "facet_quantiles": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "cand AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table'), "
+        "dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+'))::bigint AS dl FROM documents), "
+        "m AS (SELECT dl::double AS dl FROM dl "
+        "WHERE doc_id IN (SELECT doc_id FROM cand)) "
+        + " UNION ALL ".join(
+            f"SELECT {int(p * 1000)}::bigint AS pct_x3, "
+            f"round(quantile_cont(dl, {p}::double) * 10000.0)::bigint "
+            "AS val_x4 FROM m"
+            for p in (0.25, 0.5, 0.75, 0.875))
+        + " ORDER BY pct_x3"
     ),
     "facet_stats": (
         f"WITH toks AS ({SQL_TOKS}), "

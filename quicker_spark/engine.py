@@ -1343,6 +1343,48 @@ class SearchEngine:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.asc("bucket")))
 
+    def facet_percentiles(self, q: TermQuery, on_col: str = "doc_len",
+                          percentiles=(0.25, 0.5, 0.75, 0.875),
+                          by=(), on: int = 0, off: int = 0,
+                          or_flags: tuple = (), exact: bool = True,
+                          accuracy: int = 10_000) -> DataFrame:
+        """Percentiles facet over the FULL boolean match set (ES
+        percentiles-aggregation shape): per facet bucket, the continuous
+        (linearly interpolated, rank ``p*(n-1)``) quantiles of a
+        forward-index column. Returns one row per (bucket, pct):
+        ``(*by, pct, value)`` ordered by (by asc, pct asc).
+
+        Scale: ``exact=True`` uses Spark's exact ``percentile``
+        aggregate, whose buffer is a counts-map over the column's
+        DISTINCT values — for bounded-domain integer columns like
+        ``doc_len`` that is O(|domain|) per group regardless of corpus
+        size, so the exact path survives the 100 TB shape. For genuinely
+        high-cardinality columns pass ``exact=False`` to switch to the
+        mergeable fixed-size-sketch ``percentile_approx`` (same row
+        shape, approximate values — not oracle-hashable).
+
+        Determinism: with dyadic percentiles (k/2^m — the defaults) and
+        integer column values, every interpolation intermediate is
+        exactly representable in binary double, so the result is
+        bit-identical across engines and expression forms (Spark's
+        ``lo + (hi-lo)*frac`` vs SQL ``quantile_cont``)."""
+        pcts = [float(p) for p in percentiles]
+        if not pcts or any(p < 0.0 or p > 1.0 for p in pcts):
+            raise ValueError(f"percentiles must be in [0, 1]: {pcts}")
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(matches.select("doc_id"),
+                                   cols=(on_col,) + tuple(by))
+        arr = F.array(*[F.lit(p) for p in pcts])
+        col = F.col(on_col).cast("double")
+        agg = (F.percentile(col, arr) if exact
+               else F.percentile_approx(col, arr, F.lit(int(accuracy))))
+        grouped = joined.groupBy(*by).agg(agg.alias("_q"))
+        ex = grouped.select(*by, F.posexplode("_q").alias("_i", "value"))
+        out = ex.select(*by,
+                        F.element_at(arr, F.col("_i") + 1).alias("pct"),
+                        F.col("value").cast("double").alias("value"))
+        return out.orderBy(*[F.asc(c) for c in by], F.asc("pct"))
+
     def significant_terms(self, q: TermQuery, field: str = "content",
                           size: int = 10, min_doc_count: int = 2,
                           on: int = 0, off: int = 0,

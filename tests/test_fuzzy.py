@@ -258,6 +258,51 @@ def test_facet_stats_matches_brute_force(engine, oracle):
     assert got == exp
 
 
+def test_facet_percentiles_matches_brute_force(engine, oracle):
+    q = NewTermQuery("content", "def")
+    pcts = (0.25, 0.5, 0.75, 0.875)
+    got = {float(r["pct"]): float(r["value"]) for r in
+           engine.facet_percentiles(q, on_col="doc_len",
+                                    percentiles=pcts).collect()}
+    vals = sorted(oracle.doc_len[d] for d in oracle.eval_bool(q))
+    assert len(got) == len(pcts) and len(vals) >= 4
+    for p in pcts:
+        rank = p * (len(vals) - 1)
+        lo, frac = int(rank), rank - int(rank)
+        exp = vals[lo] + (vals[min(lo + 1, len(vals) - 1)] - vals[lo]) * frac
+        assert got[p] == exp, p   # dyadic p + int values -> bit-exact
+
+
+def test_facet_percentiles_grouped_and_approx(engine, oracle):
+    q = NewTermQuery("content", "def")
+    rows = engine.facet_percentiles(q, on_col="doc_len", by=("lang",),
+                                    percentiles=(0.5,)).collect()
+    langs = {oracle.docs[d]["lang"] for d in oracle.eval_bool(q)}
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        vals = sorted(oracle.doc_len[d] for d in oracle.eval_bool(q)
+                      if oracle.docs[d]["lang"] == r["lang"])
+        rank = 0.5 * (len(vals) - 1)
+        lo, frac = int(rank), rank - int(rank)
+        exp = vals[lo] + (vals[min(lo + 1, len(vals) - 1)] - vals[lo]) * frac
+        assert float(r["value"]) == exp, r["lang"]
+    # approx path: same row shape, values within the sketch tolerance
+    ap = {float(r["pct"]): float(r["value"]) for r in
+          engine.facet_percentiles(q, percentiles=(0.25, 0.75),
+                                   exact=False).collect()}
+    vals = sorted(oracle.doc_len[d] for d in oracle.eval_bool(q))
+    assert set(ap) == {0.25, 0.75}
+    assert all(vals[0] <= v <= vals[-1] for v in ap.values())
+
+
+def test_facet_percentiles_rejects_bad_pct(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="percentiles"):
+        engine.facet_percentiles(NewTermQuery("content", "def"),
+                                 percentiles=(1.5,))
+
+
 # -- spell suggestion ("did you mean") ----------------------------------------
 
 def _brute_suggest(oracle, word, max_edits, prefix_len, n):
