@@ -239,6 +239,20 @@ def main() -> None:
             size=10, min_doc_count=3).collect())
     timings["collapse_top5"] = median_time(
         lambda: eng.search_collapse(or_q, by="lang", k=5).collect())
+    timings["facet_quantiles"] = median_time(
+        lambda: eng.facet_percentiles(
+            NewTermQuery("content", "table"), on_col="doc_len").collect())
+
+    # -- hybrid serving: BM25 + two recall lists fused by reciprocal rank --
+    from quicker_spark.plans.searcher import (KeywordRecaller,
+                                              SearchContext, Searcher)
+
+    def rrf_once():
+        s = Searcher(eng, recallers=(KeywordRecaller(), KeywordRecaller()),
+                     fusion="rrf")
+        s.search(SearchContext(keywords=("table", "merge")), k=10).collect()
+
+    timings["rrf_top10"] = median_time(rrf_once)
 
     # -- wave compaction: untimed fragmented rebuild (the shape months of
     # micro-batch upserts leave), timed layout-only merge -------------------
@@ -288,6 +302,12 @@ def main() -> None:
         lambda: textops.token_stats(docs).agg(F.sum("n_tokens")).collect(), 1)
     timings["winnow_fp"] = median_time(
         lambda: textops.winnow_fingerprints(docs).count(), 1)
+    from quicker_spark.operators import dedup
+    timings["dup_clusters"] = median_time(
+        lambda: dedup.connected_components(
+            textops.lsh_candidate_pairs(
+                textops.minhash_signatures(docs, k=8),
+                k=8, bands=4)).count(), 1)
 
     total = time.time() - t_suite
     out = {
