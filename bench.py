@@ -302,6 +302,10 @@ def main() -> None:
         lambda: textops.token_stats(docs).agg(F.sum("n_tokens")).collect(), 1)
     timings["winnow_fp"] = median_time(
         lambda: textops.winnow_fingerprints(docs).count(), 1)
+    from quicker_spark.streaming.analytics import windowed_event_stats
+    timings["stream_hourly"] = median_time(
+        lambda: windowed_event_stats(
+            spark, os.path.join(sf_dir, "events.parquet")).count(), 1)
     from quicker_spark.operators import dedup
     timings["dup_clusters"] = median_time(
         lambda: dedup.connected_components(

@@ -966,6 +966,18 @@ def q_facet_quantiles(spark, sf_dir):
         .alias("val_x4"))
 
 
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming windowed aggregation, oracle-certified: a
+    real readStream -> tumbling window -> writeStream query (Trigger.
+    AvailableNow + complete mode) over the events table, hash-compared
+    against the batch SQL twin. Integer measures (count + cent-scaled
+    sum) make streaming partial-aggregate order irrelevant, so the
+    STREAMING result is bit-equal to batch SQL — the batch/stream
+    unification Spark promises, certified rather than assumed."""
+    from quicker_spark.streaming.analytics import windowed_event_stats
+    return windowed_event_stats(spark, f"{sf_dir}/events.parquet")
+
+
 def q_facet_stats(spark, sf_dir):
     """Numeric stats facet (ES stats-aggregation): per-lang count / min
     / max / sum of doc_len over the FULL match set of an AND query. One
@@ -1386,6 +1398,7 @@ QUERIES = {
     "facet_stats": q_facet_stats,
     "facet_histogram": q_facet_histogram,
     "facet_quantiles": q_facet_quantiles,
+    "stream_hourly": q_stream_hourly,
     "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
@@ -1736,6 +1749,12 @@ ORDER BY score DESC, doc_id LIMIT 10
         "SELECT (dl // 10 * 10)::bigint AS bucket, count(*)::bigint AS n "
         "FROM dl WHERE doc_id IN (SELECT doc_id FROM cand) "
         "GROUP BY bucket ORDER BY bucket"
+    ),
+    "stream_hourly": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        "AS hour, event_type, count(*)::bigint AS n, "
+        "sum(round(value * 100)::bigint)::bigint AS sum_x2 "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "facet_quantiles": (
         f"WITH toks AS ({SQL_TOKS}), "

@@ -241,3 +241,42 @@ def test_corrupt_staged_batches_marker_tolerated(spark, dirs):
     with open(os.path.join(staging, "_staged_batches.json"), "w") as fh:
         fh.write("[0, 1, tru")
     assert _staged_batches(staging) == set()
+
+
+# -- streaming analytics: windowed agg == batch, bit for bit ------------------
+
+def test_windowed_event_stats_equals_batch(spark, tmp_path):
+    """A real streaming run (AvailableNow + complete mode) over a static
+    events directory must equal the batch aggregation over the same
+    rows — the determinism contract the stream_hourly oracle relies on."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from quicker_spark.streaming.analytics import windowed_event_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=7 * i),
+             ["click", "view", "error"][i % 3],
+             round(0.37 * i, 2)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double")
+    path = str(tmp_path / "events")
+    df.repartition(5).write.parquet(path)
+
+    got = sorted(tuple(r) for r in
+                 windowed_event_stats(spark, path).collect())
+    exp = sorted(tuple(r) for r in (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("sum_x2"))
+        .select(F.date_format("_w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("hour"), "event_type", "n", "sum_x2")
+    ).collect())
+    assert got == exp and len(got) > 30
+    # repeated run (fresh sink name) is identical — no temp-view clash
+    again = sorted(tuple(r) for r in
+                   windowed_event_stats(spark, path).collect())
+    assert again == got
