@@ -242,6 +242,11 @@ def main() -> None:
     timings["facet_quantiles"] = median_time(
         lambda: eng.facet_percentiles(
             NewTermQuery("content", "table"), on_col="doc_len").collect())
+    timings["facet_cardinality"] = median_time(
+        lambda: eng.facet_cardinality(
+            And(NewTermQuery("content", "table"),
+                NewTermQuery("content", "merge")),
+            on_col="repo", by=("lang",)).collect())
 
     # -- hybrid serving: BM25 + two recall lists fused by reciprocal rank --
     from quicker_spark.plans.searcher import (KeywordRecaller,

@@ -966,6 +966,18 @@ def q_facet_quantiles(spark, sf_dir):
         .alias("val_x4"))
 
 
+def q_facet_cardinality(spark, sf_dir):
+    """Cardinality facet (ES cardinality aggregation): distinct repos
+    per lang over the FULL match set of an AND query — exact two-phase
+    distinct (partial map-side dedup, one shuffle on (lang, repo)).
+    The approx_count_distinct HLL++ path (exact=False) is the
+    constant-memory variant for data-sized cardinalities; the exact
+    path is the hashable oracle contract."""
+    eng = get_engine(spark, sf_dir)
+    q = And(*[NewTermQuery("content", t) for t in AND_TERMS])
+    return eng.facet_cardinality(q, on_col="repo", by=("lang",))
+
+
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming windowed aggregation, oracle-certified: a
     real readStream -> tumbling window -> writeStream query (Trigger.
@@ -1399,6 +1411,7 @@ QUERIES = {
     "facet_histogram": q_facet_histogram,
     "facet_quantiles": q_facet_quantiles,
     "stream_hourly": q_stream_hourly,
+    "facet_cardinality": q_facet_cardinality,
     "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
@@ -1749,6 +1762,15 @@ ORDER BY score DESC, doc_id LIMIT 10
         "SELECT (dl // 10 * 10)::bigint AS bucket, count(*)::bigint AS n "
         "FROM dl WHERE doc_id IN (SELECT doc_id FROM cand) "
         "GROUP BY bucket ORDER BY bucket"
+    ),
+    "facet_cardinality": (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "cand AS (SELECT doc_id FROM toks WHERE term IN ('"
+        + "','".join(AND_TERMS) + "') GROUP BY doc_id "
+        f"HAVING count(DISTINCT term) = {len(AND_TERMS)}) "
+        "SELECT lang, count(DISTINCT source)::bigint AS n_distinct "
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM cand) "
+        "GROUP BY lang ORDER BY n_distinct DESC, lang"
     ),
     "stream_hourly": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "

@@ -1385,6 +1385,35 @@ class SearchEngine:
                         F.col("value").cast("double").alias("value"))
         return out.orderBy(*[F.asc(c) for c in by], F.asc("pct"))
 
+    def facet_cardinality(self, q: TermQuery, on_col: str = "repo",
+                          by=(), on: int = 0, off: int = 0,
+                          or_flags: tuple = (), exact: bool = True,
+                          rsd: float = 0.05) -> DataFrame:
+        """Cardinality facet over the FULL boolean match set (ES
+        cardinality aggregation): distinct values of a forward-index
+        column per facet bucket. Returns ``(*by, n_distinct)`` ordered
+        by (n_distinct desc, by asc).
+
+        Scale: ``exact=True`` is Spark's two-phase distinct aggregate —
+        a partial map-side dedup, one shuffle keyed on
+        ``(by, on_col)``, then the count; memory per task is bounded by
+        the group's distinct values, and Catalyst expands it without a
+        second corpus pass. ``exact=False`` switches to
+        ``approx_count_distinct`` (HyperLogLog++): a fixed-size
+        mergeable sketch per group — constant memory at any
+        cardinality, the ES-default behavior, for columns whose
+        distinct set itself is data-sized (e.g. a user-id column at
+        10^12 events). The exact path is what the oracle hashes; the
+        approx path is the 100 TB escape hatch."""
+        matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
+        joined = self.hydrate_join(matches.select("doc_id"),
+                                   cols=(on_col,) + tuple(by))
+        agg = (F.count_distinct(F.col(on_col)) if exact
+               else F.approx_count_distinct(on_col, rsd))
+        return (joined.groupBy(*by)
+                .agg(agg.cast("long").alias("n_distinct"))
+                .orderBy(F.desc("n_distinct"), *[F.asc(c) for c in by]))
+
     def significant_terms(self, q: TermQuery, field: str = "content",
                           size: int = 10, min_doc_count: int = 2,
                           on: int = 0, off: int = 0,

@@ -295,6 +295,24 @@ def test_facet_percentiles_grouped_and_approx(engine, oracle):
     assert all(vals[0] <= v <= vals[-1] for v in ap.values())
 
 
+def test_facet_cardinality_matches_brute_force(engine, oracle):
+    q = NewTermQuery("content", "def")
+    got = {r["lang"]: int(r["n_distinct"]) for r in
+           engine.facet_cardinality(q, on_col="repo",
+                                    by=("lang",)).collect()}
+    exp: dict = {}
+    for d in oracle.eval_bool(q):
+        exp.setdefault(oracle.docs[d]["lang"], set()).add(
+            oracle.docs[d]["repo"])
+    assert got == {k: len(v) for k, v in exp.items()}
+    # HLL path: same buckets, values within the sketch's rsd envelope
+    ap = {r["lang"]: int(r["n_distinct"]) for r in
+          engine.facet_cardinality(q, on_col="repo", by=("lang",),
+                                   exact=False, rsd=0.02).collect()}
+    assert set(ap) == set(got)
+    assert all(abs(ap[k] - got[k]) <= max(2, 0.1 * got[k]) for k in got)
+
+
 def test_facet_percentiles_rejects_bad_pct(engine):
     import pytest as _pytest
 
