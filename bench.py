@@ -248,6 +248,11 @@ def main() -> None:
                 NewTermQuery("content", "merge")),
             on_col="repo", by=("lang",)).collect())
 
+    from quicker_spark.plans.qparse import search_string
+    timings["querystring_top10"] = median_time(
+        lambda: search_string(eng, "merge +table -spark quer*", k=10,
+                              max_expansions=4096).collect())
+
     # -- hybrid serving: BM25 + two recall lists fused by reciprocal rank --
     from quicker_spark.plans.searcher import (KeywordRecaller,
                                               SearchContext, Searcher)

@@ -966,6 +966,24 @@ def q_facet_quantiles(spark, sf_dir):
         .alias("val_x4"))
 
 
+QS_QUERY = "merge +table -spark quer*"
+
+
+def q_querystring_top10(spark, sf_dir):
+    """Lucene query-string front door (plans/qparse.py): the string
+    `merge +table -spark quer*` parsed and compiled onto the engine's
+    certified primitives — must/should/must_not occur semantics via
+    And(*M, Or(*S, *M)) + in-kernel exclude, the prefix expanded
+    against the term dictionary — and served as ONE scored search. The
+    oracle rebuilds the identical request in SQL: candidates = docs
+    with 'table' and without 'spark'; scored terms = {merge, table} ∪
+    (vocabulary LIKE 'quer%'), each with its own idf."""
+    from quicker_spark.plans.qparse import search_string
+    eng = get_engine(spark, sf_dir)
+    hits = search_string(eng, QS_QUERY, k=10, max_expansions=4096)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_facet_cardinality(spark, sf_dir):
     """Cardinality facet (ES cardinality aggregation): distinct repos
     per lang over the FULL match set of an AND query — exact two-phase
@@ -1412,6 +1430,7 @@ QUERIES = {
     "facet_quantiles": q_facet_quantiles,
     "stream_hourly": q_stream_hourly,
     "facet_cardinality": q_facet_cardinality,
+    "querystring_top10": q_querystring_top10,
     "sorted_top": q_sorted_top,
     "bm25_batch_top10": q_bm25_batch_top10,
     "hybrid_top10": q_hybrid_top10,
@@ -1763,6 +1782,10 @@ ORDER BY score DESC, doc_id LIMIT 10
         "FROM dl WHERE doc_id IN (SELECT doc_id FROM cand) "
         "GROUP BY bucket ORDER BY bucket"
     ),
+    "querystring_top10": sql_bm25_topk(
+        term_where=("(term IN ('merge', 'table') OR term LIKE 'quer%')"),
+        cand_having="max(CASE WHEN term = 'table' THEN 1 ELSE 0 END) = 1",
+        exclude_terms=("spark",)),
     "facet_cardinality": (
         f"WITH toks AS ({SQL_TOKS}), "
         "cand AS (SELECT doc_id FROM toks WHERE term IN ('"

