@@ -51,6 +51,13 @@ Multi-term expansions (fuzzy/wildcard/regexp/prefix) happen at compile
 time against the term dictionary (engine.expand_*: anchored,
 partition-pruned scans), then the whole request runs as ONE scored
 search — same plan shape as any other query.
+
+The compiler is duck-typed over BOTH serving tiers: `SearchEngine`
+(Spark scatter-gather) and `serving.LocalSearcher` (resident
+point-query tier), which exposes the same expand_*/search surface —
+the same string returns bitwise-identical rankings from either
+(tests/test_local_serving.py). Phrases need the positional sidecar and
+so are SearchEngine-only.
 """
 
 from __future__ import annotations
@@ -370,8 +377,9 @@ def _expand_leaf(eng, leaf: Leaf, default_field: str,
         keys = eng.expand_fuzzy(f, leaf.text[0], max_edits=leaf.param,
                                 max_expansions=max_expansions)
     elif leaf.kind == "wildcard":
+        from quicker_spark.engine import SearchEngine
         keys = eng.expand_regexp(
-            f, type(eng).wildcard_to_regexp(leaf.text[0]),
+            f, SearchEngine.wildcard_to_regexp(leaf.text[0]),
             max_expansions=max_expansions)
     elif leaf.kind == "regexp":
         keys = eng.expand_regexp(f, leaf.text[0],
@@ -466,6 +474,11 @@ def search_string(eng, qs: str, k: int = 10,
                        default_op=default_op,
                        max_expansions=max_expansions)
     if c.phrase is not None:
+        if not hasattr(eng, "search_phrase"):
+            raise QueryParseError(
+                "phrase queries need the positional serving path "
+                "(SearchEngine + build_positions); this engine "
+                f"({type(eng).__name__}) has none")
         kw = {k_: v for k_, v in search_kw.items()
               if k_ in ("on", "off", "or_flags", "hydrate")}
         return eng.search_phrase(list(c.phrase.text),

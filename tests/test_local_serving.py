@@ -196,3 +196,43 @@ def test_stale_after_maintenance(spark, tmp_path):
     # a fresh open serves the new generation
     fresh = LocalSearcher(out)
     assert 0 not in set(fresh.search(Or(_t("def")), k=50)["doc_id"])
+
+
+# -- term-dictionary expansion + query strings on the local tier --------------
+
+def test_local_expansions_equal_engine(eng, ls):
+    for args in (("expand_prefix", ("content", "tok5"), {}),
+                 ("expand_prefix", ("content", "tok"),
+                  {"max_expansions": 7}),
+                 ("expand_regexp", ("content", "tok5[0-9]"), {}),
+                 ("expand_regexp", ("content", "t.k5."),
+                  {"max_expansions": 5}),
+                 ("expand_fuzzy", ("content", "tok50"),
+                  {"max_edits": 1, "prefix_len": 3}),
+                 ("expand_fuzzy", ("content", "tok50"),
+                  {"max_edits": 2, "prefix_len": 1,
+                   "max_expansions": 9})):
+        name, a, kw = args
+        assert getattr(ls, name)(*a, **kw) == \
+            getattr(eng, name)(*a, **kw), args
+
+
+def test_search_string_local_equals_spark(eng, ls):
+    from quicker_spark.plans.qparse import search_string
+
+    for qs in ("def return", "+tok50 def", "def -tok50",
+               "tok5* AND def", "tok50~1", "def^2.5 tok50"):
+        spark_hits = [(r["doc_id"], r["score"]) for r in
+                      search_string(eng, qs, k=10,
+                                    max_expansions=64).collect()]
+        local = search_string(ls, qs, k=10, max_expansions=64)
+        local_hits = list(zip(local["doc_id"].tolist(),
+                              local["score"].tolist()))
+        assert local_hits == spark_hits, qs   # bitwise, not approx
+
+
+def test_search_string_local_phrase_raises(ls):
+    from quicker_spark.plans.qparse import QueryParseError, search_string
+
+    with pytest.raises(QueryParseError, match="positional"):
+        search_string(ls, '"def tok50"')
