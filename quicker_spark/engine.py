@@ -454,6 +454,13 @@ def _make_bool_not_kernel(pos_json: str, neg_json: str, on: int, off: int,
 # the collect-based path and must go through hydrate_join instead
 _HYDRATE_MAX = 10_000
 
+# significant_terms background join: broadcast the whole-vocabulary
+# term-stats projection only while the vocabulary is genuinely
+# broadcast-sized (~2M terms ≈ tens of MB); beyond that a shuffle join
+# keyed on word is the scale-safe default (a 10^12-file code corpus has
+# 10^8-10^9 distinct content terms — far past any broadcast threshold)
+_SIG_TERMS_BCAST_MAX = 2_000_000
+
 
 class SearchEngine:
     """Load an index directory built by :func:`quicker_spark.operators.build.build_index`."""
@@ -1430,10 +1437,16 @@ class SearchEngine:
         (:meth:`hydrate_join` reads ONLY ``field``), foreground dfs come
         from one map-side-distinct explode + aggregate — cost is
         proportional to the MATCH SET, never the corpus — and
-        background dfs broadcast from the vocabulary-sized term-stats
-        table. ``field`` must be a tokenized field (the engine token
-        spec defines what a term is). One distributed aggregation;
-        nothing corpus-sized is collected."""
+        background dfs join from the term-stats table, broadcast ONLY
+        when the corpus vocabulary is broadcast-sized
+        (``n_terms <= _SIG_TERMS_BCAST_MAX``). term_stats scales with
+        the corpus VOCABULARY (10^8+ distinct terms on a web-scale
+        code corpus), so past the threshold the background join is a
+        plain shuffle join keyed on ``word`` — the scale-safe default;
+        AQE may still pick a broadcast at runtime if the filtered side
+        turns out small. ``field`` must be a tokenized field (the
+        engine token spec defines what a term is). One distributed
+        aggregation; nothing corpus-sized is collected."""
         from quicker_spark.functions.tokenize import tokenize_col
 
         matches = self.search_bool(q, on=on, off=off, or_flags=or_flags)
@@ -1449,12 +1462,17 @@ class SearchEngine:
               .groupBy("word")
               .agg(F.count(F.lit(1)).alias("fg_df"))
               .filter(F.col("fg_df") >= F.lit(int(min_doc_count))))
-        bg = F.broadcast(
-            self.term_stats
-            .filter(F.col("term").startswith(f"{field}\x01"))
-            .select(F.expr(f"substring(term, {len(field) + 2})")
-                    .alias("word"),
-                    F.col("df_global").alias("bg_df")))
+        bg = (self.term_stats
+              .filter(F.col("term").startswith(f"{field}\x01"))
+              .select(F.expr(f"substring(term, {len(field) + 2})")
+                      .alias("word"),
+                      F.col("df_global").alias("bg_df")))
+        if self.stats.get("n_terms") is None:
+            # pre-n_terms index format: count-star is parquet footer
+            # metadata only; cache so the gate costs one job ever
+            self.stats["n_terms"] = int(self.term_stats.count())
+        if int(self.stats["n_terms"]) <= _SIG_TERMS_BCAST_MAX:
+            bg = F.broadcast(bg)
         lift = ((F.col("fg_df").cast("double") / F.lit(float(fg_n)))
                 / (F.col("bg_df").cast("double") / F.lit(float(n_docs))))
         return (fg.join(bg, "word", "inner")

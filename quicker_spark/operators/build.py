@@ -883,6 +883,12 @@ def _build_index_body(spark: SparkSession, corpus: DataFrame, out_dir: str,
               .sortWithinPartitions("term")
               .write.mode("overwrite")
               .parquet(os.path.join(out_dir, "term_stats")))
+        # vocabulary size (count-star = parquet footer metadata only):
+        # the query tier gates its broadcast-vs-shuffle choice for
+        # whole-vocabulary joins (significant_terms) on this
+        stats["n_terms"] = int(
+            spark.read.parquet(os.path.join(out_dir, "term_stats")).count())
+        atomic_write_json(stats_path, stats)
     term_stats_secs = time.time() - t_ts
 
     secs = time.time() - t0

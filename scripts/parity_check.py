@@ -46,6 +46,7 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
         SparkSession.builder.master("local[8]")
         .appName("parity")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "6g")
         .getOrCreate()
     )

@@ -72,3 +72,33 @@ def test_no_matches_is_empty_with_schema(eng):
     out = eng.significant_terms(q)
     assert out.count() == 0
     assert out.columns == ["word", "fg_df", "bg_df", "lift"]
+
+
+def _n_broadcast_hints(df) -> int:
+    """Count EXPLICIT broadcast hints in the analyzed plan (AQE may
+    still add runtime broadcasts; those are legitimate and invisible
+    here)."""
+    return df._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint")
+
+
+def test_vocabulary_never_broadcast_at_scale(eng, monkeypatch):
+    """The background term-stats side scales with the corpus VOCABULARY
+    (10^8+ terms at the target scale) — it must carry an explicit
+    broadcast hint ONLY while n_terms is broadcast-sized."""
+    import quicker_spark.engine as E
+
+    q = Or(NewTermQuery("content", "def"))
+    small = eng.significant_terms(q, size=5)
+    assert int(eng.stats["n_terms"]) <= E._SIG_TERMS_BCAST_MAX
+    n_small = _n_broadcast_hints(small)
+
+    monkeypatch.setitem(eng.stats, "n_terms", E._SIG_TERMS_BCAST_MAX + 1)
+    large = eng.significant_terms(q, size=5)
+    n_large = _n_broadcast_hints(large)
+    assert n_small == n_large + 1, (
+        f"expected exactly the vocabulary broadcast hint to disappear "
+        f"past the threshold (small={n_small}, large={n_large})")
+    # and the de-hinted plan still returns the same ranked rows
+    assert [tuple(r) for r in large.collect()] == \
+        [tuple(r) for r in small.collect()]
