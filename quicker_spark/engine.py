@@ -66,14 +66,50 @@ def _row_to_encoded(row: pd.Series, block_size: int) -> EncodedPostings:
     )
 
 
+def _is_real_leaf(q: TermQuery) -> bool:
+    return bool(q.keyword) and not q.keyword.startswith(PSEUDO_PREFIX)
+
+
 def _is_flat_or(q: TermQuery) -> bool:
     if q.keyword:
-        return True
-    return bool(q.should) and all(c.keyword for c in q.should)
+        return _is_real_leaf(q)
+    if q.must_not:
+        return False
+    return bool(q.should) and all(_is_real_leaf(c) for c in q.should)
 
 
 def _is_flat_and(q: TermQuery) -> bool:
-    return bool(q.must) and all(c.keyword for c in q.must)
+    if q.must_not:
+        return False
+    return bool(q.must) and all(_is_real_leaf(c) for c in q.must)
+
+
+# pseudo-leaf keyword prefix: a tree leaf whose per-segment candidate
+# array is computed OUTSIDE the postings (phrase match sets from the
+# positional sidecar) and injected into eval_bool_tree via
+# extra_leaf_ids. Contains no field separator, so it can never collide
+# with a real ``field\x01word`` key.
+PSEUDO_PREFIX = "\x02"
+
+
+class PhraseSpec(NamedTuple):
+    """One phrase CLAUSE of a boolean query (engine.search ``phrases=``):
+    the tree (or the exclude tree) holds a pseudo-leaf
+    ``TermQuery(keyword=key)``; per segment, the kernel resolves it to
+    the phrase's bit-filtered match doc set from the positional sidecar.
+    ``score_words=True`` adds the constituent terms to the SCORED set
+    (the documented phrase-scoring contract: a phrase scores as its
+    distinct words' BM25 sum); negated phrases pass False — their words
+    must not contribute score."""
+    key: str
+    field: str
+    words: tuple
+    gap: int = 0
+    score_words: bool = True
+
+    @property
+    def term_keys(self) -> tuple:
+        return tuple(f"{self.field}\x01{w}" for w in self.words)
 
 
 class SearchSpec(NamedTuple):
@@ -88,22 +124,66 @@ class SearchSpec(NamedTuple):
     exclude_json: str | None
     after: tuple[float, int] | None
     empty: bool   # request is valid but can match nothing
+    phrases: tuple = ()   # validated PhraseSpec clauses
 
 
 def resolve_search_spec(q: TermQuery, mode: str = "auto",
                         boosts: dict[str, float] | None = None,
                         after: tuple[float, int] | None = None,
                         exclude: TermQuery | None = None,
-                        min_should_match: int = 0) -> SearchSpec:
+                        min_should_match: int = 0,
+                        phrases: tuple = ()) -> SearchSpec:
     """Validate a BM25 top-k request and resolve its scoring strategy.
 
     Raises the same ValueErrors for the same invalid requests on every
     serving path; `empty=True` marks a request that is valid but can
-    match nothing (no terms, or an unreachable quorum)."""
-    terms = q.terms()
-    if not terms:
+    match nothing (no terms, or an unreachable quorum).
+
+    Nested ``must_not`` in either tree and phrase pseudo-leaves
+    (``phrases``) force the exhaustive scorer — the pruned scorers'
+    block-max bookkeeping cannot subtract or intersect candidate sets
+    losslessly mid-walk. Scored terms = the tree's POSITIVE real
+    leaves + the words of score_words phrases; negated-subtree terms
+    join ``neg_terms`` (scanned for evaluation, never scored)."""
+    phrases = tuple(PhraseSpec(*p) for p in phrases)
+    all_terms = q.terms()
+    pseudo_in_trees = {t for t in all_terms if t.startswith(PSEUDO_PREFIX)}
+    if exclude is not None:
+        pseudo_in_trees |= {t for t in exclude.terms()
+                            if t.startswith(PSEUDO_PREFIX)}
+    spec_keys = {p.key for p in phrases}
+    if pseudo_in_trees - spec_keys:
+        raise ValueError(
+            f"tree has pseudo-leaves with no PhraseSpec: "
+            f"{sorted(pseudo_in_trees - spec_keys)}")
+    for p in phrases:
+        if not p.words:
+            raise ValueError(f"phrase {p.key!r} has no words")
+        if not p.key.startswith(PSEUDO_PREFIX):
+            raise ValueError(f"phrase key {p.key!r} must start with "
+                             "the pseudo-leaf prefix")
+    pos_pseudo = {t for t in q.pos_terms() if t.startswith(PSEUDO_PREFIX)}
+    for p in phrases:
+        if p.key in pos_pseudo and not p.score_words:
+            raise ValueError(
+                f"phrase {p.key!r} sits in the positive tree and must "
+                "have score_words=True — its words anchor the postings "
+                "scan (and the documented phrase-scoring contract)")
+    pos = {t for t in q.pos_terms() if not t.startswith(PSEUDO_PREFIX)}
+    terms = sorted(pos | {k for p in phrases if p.score_words
+                          for k in p.term_keys})
+    if not terms and not phrases:
         return SearchSpec([], "taat", 0, frozenset(), None, None, True)
     empty = False
+    needs_taat = bool(phrases) or q.has_must_not() \
+        or (exclude is not None and exclude.has_must_not())
+    if needs_taat:
+        if mode not in ("auto", "taat"):
+            raise ValueError(
+                "nested must_not / phrase clauses require mode='auto' "
+                "or 'taat' (pruned scorers cannot subtract or intersect "
+                "candidate sets losslessly)")
+        mode = "taat"
     msm = int(min_should_match)
     if msm > 1:
         if not _is_flat_or(q):
@@ -116,10 +196,14 @@ def resolve_search_spec(q: TermQuery, mode: str = "auto",
         if msm > len(set(terms)):
             empty = True
         mode = "taat"
-    neg_terms: set[str] = set()
+    # negated-subtree terms: scanned so the kernel can evaluate the
+    # exclusion, excluded from scoring (exclude_only)
+    neg_terms: set[str] = {t for t in all_terms
+                           if not t.startswith(PSEUDO_PREFIX)} - set(terms)
     exclude_json = None
     if exclude is not None:
-        neg_terms = set(exclude.terms()) - set(terms)
+        neg_terms |= {t for t in exclude.terms()
+                      if not t.startswith(PSEUDO_PREFIX)} - set(terms)
         if exclude.terms():
             exclude_json = exclude.to_json()
             if mode not in ("auto", "taat"):
@@ -156,7 +240,7 @@ def resolve_search_spec(q: TermQuery, mode: str = "auto",
                 "use mode='auto' or 'taat' for nested trees")
         strategy = mode
     return SearchSpec(terms, strategy, msm, frozenset(neg_terms),
-                      exclude_json, after, empty)
+                      exclude_json, after, empty, phrases)
 
 
 def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
@@ -169,7 +253,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                         after: tuple | None = None,
                         exclude: dict | None = None,
                         exclude_only: frozenset = frozenset(),
-                        min_match: int = 0):
+                        min_match: int = 0,
+                        extra_leaf_ids: dict | None = None):
     """Score ONE query against one segment's posting rows (``pdf``: one
     row per query term present in the segment) -> (doc_ids, scores).
 
@@ -251,7 +336,7 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
     return score_segment_exhaustive(
         query, decoded, idf, avgdl, k, on, off, or_flags, k1, b,
         after=after, exclude=exclude, exclude_only=exclude_only,
-        min_match=min_match)
+        min_match=min_match, extra_leaf_ids=extra_leaf_ids)
 
 
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
@@ -261,22 +346,53 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       after: tuple | None = None,
                       exclude_json: str | None = None,
                       exclude_only: tuple = (),
-                      min_match: int = 0):
+                      min_match: int = 0,
+                      phrases: tuple = ()):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
-    is executor-side data, never driver state)."""
+    is executor-side data, never driver state).
+
+    ``phrases``: PhraseSpec-shaped tuples. When present, the kernel
+    input frame is the postings scan UNIONED with the positional
+    sidecar rows for the phrase terms (the sidecar rows carry a
+    non-null ``pos`` stream; postings rows carry null). Per segment the
+    kernel folds each phrase's adjacency match set from the positions
+    rows and injects it as that pseudo-leaf's candidate array — the
+    scoring walk itself is the unmodified TAAT path."""
     query = json.loads(query_json)
     boost_map = dict(boosts) if boosts else None
     exclude = json.loads(exclude_json) if exclude_json else None
     excl_only = frozenset(exclude_only)
+    phrase_specs = tuple(PhraseSpec(*p) for p in phrases)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        extra = None
+        if phrase_specs:
+            from quicker_spark.functions.phrase import (
+                decode_positions_row, phrase_match_docs)
+            is_pos = pdf["pos"].notna()
+            pos_rows, pdf = pdf[is_pos], pdf[~is_pos]
+            decoded = {
+                r["term"]: decode_positions_row(
+                    bytes(r["ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+                    bytes(r["bits"]), bytes(r["pos"]))
+                for _, r in pos_rows.iterrows()}
+            extra = {}
+            for p in phrase_specs:
+                if set(p.term_keys) <= set(decoded):
+                    extra[p.key] = phrase_match_docs(
+                        list(p.term_keys), decoded, gap=p.gap,
+                        on=on, off=off, or_flags=or_flags)
+                else:
+                    # a phrase term absent from this segment: no match
+                    # here (the conj early-exit)
+                    extra[p.key] = np.empty(0, dtype=np.int64)
         ids, scores = _score_segment_rows(
             pdf, query, strategy, n_query_terms, n_docs, avgdl,
             k, on, off, or_flags, k1, b, block_size, boosts=boost_map,
             after=after, exclude=exclude, exclude_only=excl_only,
-            min_match=min_match)
+            min_match=min_match, extra_leaf_ids=extra)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -576,7 +692,8 @@ class SearchEngine:
                after: tuple[float, int] | None = None,
                exclude: TermQuery | None = None,
                min_should_match: int = 0,
-               hydrate: bool = False) -> DataFrame:
+               hydrate: bool = False,
+               phrases: tuple = ()) -> DataFrame:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
 
@@ -623,9 +740,17 @@ class SearchEngine:
         with the OR query's scores. Forces the exhaustive scorer (the
         quorum filter runs before each segment's top-k heap, which a
         pruned scorer's threshold bookkeeping would make lossy).
+
+        ``phrases``: PhraseSpec clauses — the tree (or ``exclude``)
+        holds a pseudo-leaf per spec; per segment its candidate array
+        is the phrase's adjacency match set folded from the positional
+        sidecar (requires build_positions for the phrase field). The
+        scan becomes postings-for-scored-terms UNION sidecar-rows-for-
+        phrase-terms, one Arrow kernel per segment either way — same
+        plan shape, same top-k merge. Forces TAAT.
         """
         spec = resolve_search_spec(q, mode, boosts, after, exclude,
-                                   min_should_match)
+                                   min_should_match, phrases=phrases)
         if spec.empty:
             return self._empty_hits(hydrate)
         terms, strategy, msm = spec.terms, spec.strategy, spec.msm
@@ -637,20 +762,49 @@ class SearchEngine:
             self.stats["block_size"], strategy, len(terms),
             boosts=tuple(sorted((boosts or {}).items())), after=after,
             exclude_json=exclude_json, exclude_only=tuple(sorted(neg_terms)),
-            min_match=msm,
+            min_match=msm, phrases=spec.phrases,
         )
         scan_terms = set(terms) | neg_terms
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(scan_terms))))
-        seg_hits = (
-            self._postings_for(scan_terms)
-            .join(ts, "term", "left")
-            .fillna(0, subset=["df_global"])
-            .groupBy("segment_id")
-            .applyInPandas(kern, "doc_id long, score double")
-        )
+        scan = (self._postings_for(scan_terms)
+                .join(ts, "term", "left")
+                .fillna(0, subset=["df_global"]))
+        if spec.phrases:
+            scan = scan.unionByName(
+                self._positions_for(spec.phrases),
+                allowMissingColumns=True)
+        seg_hits = (scan.groupBy("segment_id")
+                    .applyInPandas(kern, "doc_id long, score double"))
         hits = seg_hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return self.hydrate(hits) if hydrate else hits
+
+    def _positions_for(self, phrases: tuple) -> DataFrame:
+        """Positional-sidecar rows for every phrase term, pruned the
+        same way the postings scan is (bucket directories, then the
+        term IN-filter's row-group stats on term-sorted files). Raises
+        when the sidecar is missing or doesn't cover a phrase field."""
+        from quicker_spark.operators.positions import positions_meta
+
+        meta = positions_meta(self.index_dir)
+        if meta is None:
+            raise ValueError(
+                "phrase clauses need the positional sidecar; run "
+                "operators.positions.build_positions(spark, index_dir) "
+                "first")
+        for p in phrases:
+            if p.field not in meta["fields"]:
+                raise ValueError(
+                    f"field {p.field!r} has no positions (sidecar "
+                    f"covers {meta['fields']})")
+        pterms = {k for p in phrases for k in PhraseSpec(*p).term_keys}
+        return (self._bucket_filter(
+                    self.spark.read.parquet(
+                        os.path.join(self.index_dir, "positions")),
+                    pterms)
+                .filter(F.col("term").isin(list(pterms)))
+                .select("segment_id", "term", "ids", "tfs", "dls",
+                        "bits", "pos"))
 
     def search_many(self, queries: dict[str, TermQuery], k: int = 10,
                     on: int = 0, off: int = 0, or_flags: tuple = (),

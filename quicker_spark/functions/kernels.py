@@ -346,16 +346,36 @@ def union_many(arrays: list[np.ndarray]) -> np.ndarray:
 # -- exhaustive (term-at-a-time) scorer ---------------------------------------
 
 def eval_bool_tree(node: dict, leaf_ids: dict[str, np.ndarray]) -> np.ndarray:
-    """Evaluate a TermQuery dict over per-term candidate id arrays."""
+    """Evaluate a TermQuery dict over per-term candidate id arrays.
+
+    A node may carry ``must_not`` alongside its positive part (nested
+    ES bool exclusion): the node's matches are its positive matches
+    MINUS the union of the ``must_not`` subtrees — evaluated against
+    the node's own candidate set, never a corpus-sized complement.
+    Leaf keys of the form ``field\\x01word``; pseudo-leaves (phrase
+    match sets, key prefix ``\\x02``) resolve through the same
+    ``leaf_ids`` map — the caller injects their per-segment id arrays."""
     if "keyword" in node:
         kw = node["keyword"]
-        key = f"{kw.get('field','')}\x01{kw.get('word','')}"
+        f = kw.get("field", "")
+        # pseudo-leaf keys ("\x02..." — phrase match sets) contain no
+        # field separator, so the whole key lands in the field slot
+        key = f if f.startswith("\x02") else f"{f}\x01{kw.get('word','')}"
         return leaf_ids.get(key, np.empty(0, dtype=np.int64))
     if "must" in node:
-        return intersect_many([eval_bool_tree(c, leaf_ids) for c in node["must"]])
-    if "should" in node:
-        return union_many([eval_bool_tree(c, leaf_ids) for c in node["should"]])
-    return np.empty(0, dtype=np.int64)
+        out = intersect_many([eval_bool_tree(c, leaf_ids)
+                              for c in node["must"]])
+    elif "should" in node:
+        out = union_many([eval_bool_tree(c, leaf_ids)
+                          for c in node["should"]])
+    else:
+        return np.empty(0, dtype=np.int64)
+    negs = node.get("must_not")
+    if negs and out.size:
+        out = np.setdiff1d(
+            out, union_many([eval_bool_tree(c, leaf_ids) for c in negs]),
+            assume_unique=True)
+    return out
 
 
 def score_segment_exhaustive(
@@ -373,6 +393,7 @@ def score_segment_exhaustive(
     exclude: dict | None = None,
     exclude_only: frozenset = frozenset(),
     min_match: int = 0,
+    extra_leaf_ids: dict[str, np.ndarray] | None = None,
 ):
     """Boolean-filter + BM25-score one segment, vectorized TAAT.
 
@@ -388,12 +409,15 @@ def score_segment_exhaustive(
     over every matching term, exactly like the plain query, so
     ``min_match=1`` is bitwise-identical to no constraint. Applied
     before the paging cursor and the top-k, so a cursor taken from an
-    msm result pages within the same constrained rank order. Returns
-    (doc_ids, scores) of the segment-local top-k, ordered by
+    msm result pages within the same constrained rank order.
+    ``extra_leaf_ids``: pre-computed candidate id arrays for
+    pseudo-leaves in the tree (phrase match sets) — they join candidate
+    evaluation but NEVER score (no posting run in ``term_postings``).
+    Returns (doc_ids, scores) of the segment-local top-k, ordered by
     (score desc, doc_id asc).
     """
     filtered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    leaf_ids: dict[str, np.ndarray] = {}
+    leaf_ids: dict[str, np.ndarray] = dict(extra_leaf_ids or {})
     for t, (ids, tfs, dls, bits) in term_postings.items():
         m = filter_by_bits_vec(bits, on, off, or_flags)
         fids = ids[m]

@@ -174,6 +174,46 @@ def occurrence_keys(ids: np.ndarray, tfs: np.ndarray,
     return (np.repeat(ids, tfs) << _POS_BITS) + pos
 
 
+def phrase_match_docs(phrase_terms: list[str], decoded: dict,
+                      gap: int = 0, on: int = 0, off: int = 0,
+                      or_flags: tuple = ()) -> np.ndarray:
+    """Sorted doc ids of one segment's phrase / ordered-proximity
+    matches, bit-feature-filtered — the match-set half of
+    :func:`score_segment_phrase`, reusable as a PSEUDO-LEAF candidate
+    array when a phrase is one clause of a larger boolean query
+    (engine.search ``phrases=``). ``decoded`` must contain every term
+    in ``phrase_terms`` (callers early-exit otherwise); the adjacency
+    fold and the clamped proximity window are documented on the module.
+    """
+    if not phrase_terms:
+        return np.empty(0, dtype=np.int64)
+    d0 = decoded[phrase_terms[0]]
+    s = occurrence_keys(d0[0], d0[1], d0[4])
+    for t in phrase_terms[1:]:
+        d = decoded[t]
+        keys = occurrence_keys(d[0], d[1], d[4])
+        if gap == 0:
+            s = np.intersect1d(s + 1, keys, assume_unique=True)
+        else:
+            # keep occurrences with a prefix end in the window
+            # [p - 1 - gap, p - 1] of the SAME doc (the lower bound is
+            # clamped to the doc's key range so the window can't leak
+            # into the previous doc's positions)
+            lo = np.maximum(keys - 1 - gap,
+                            (keys >> _POS_BITS) << _POS_BITS)
+            s = keys[np.searchsorted(s, lo, side="left")
+                     < np.searchsorted(s, keys, side="left")]
+        if not len(s):
+            return np.empty(0, dtype=np.int64)
+    match = np.unique(s >> _POS_BITS)
+    # bit-feature filter comes from the FIRST term's streams (a phrase
+    # match implies membership in every term's posting run)
+    ids0, _tfs0, _dls0, bits0, _ = d0
+    keep = filter_by_bits_vec(bits0[np.searchsorted(ids0, match)],
+                              on, off, or_flags)
+    return match[keep]
+
+
 def score_segment_phrase(phrase_terms: list[str], decoded: dict,
                          idf: dict, avgdl: float, k: int,
                          on: int, off: int, or_flags: tuple,
@@ -194,34 +234,11 @@ def score_segment_phrase(phrase_terms: list[str], decoded: dict,
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if not phrase_terms:
         return empty
-    s = occurrence_keys(*(lambda d: (d[0], d[1], d[4]))(
-        decoded[phrase_terms[0]]))
-    for t in phrase_terms[1:]:
-        d = decoded[t]
-        keys = occurrence_keys(d[0], d[1], d[4])
-        if gap == 0:
-            s = np.intersect1d(s + 1, keys, assume_unique=True)
-        else:
-            # keep occurrences with a prefix end in the window
-            # [p - 1 - gap, p - 1] of the SAME doc (the lower bound is
-            # clamped to the doc's key range so the window can't leak
-            # into the previous doc's positions)
-            lo = np.maximum(keys - 1 - gap,
-                            (keys >> _POS_BITS) << _POS_BITS)
-            s = keys[np.searchsorted(s, lo, side="left")
-                     < np.searchsorted(s, keys, side="left")]
-        if not len(s):
-            return empty
-    match = np.unique(s >> _POS_BITS)
-
-    # bit-feature filter + doc stats come from the FIRST term's streams
-    # (a phrase match implies membership in every term's posting run)
-    ids0, _tfs0, dls0, bits0, _ = decoded[phrase_terms[0]]
-    at0 = np.searchsorted(ids0, match)
-    keep = filter_by_bits_vec(bits0[at0], on, off, or_flags)
-    match = match[keep]
+    match = phrase_match_docs(phrase_terms, decoded, gap=gap,
+                              on=on, off=off, or_flags=or_flags)
     if not len(match):
         return empty
+    ids0, _tfs0, dls0, _bits0, _ = decoded[phrase_terms[0]]
     dl = dls0[np.searchsorted(ids0, match)]
 
     scores = np.zeros(len(match), dtype=np.float64)

@@ -37,15 +37,28 @@ so ``And(*M, Or(*S, *M))`` has candidates = "docs matching all musts"
 score when present — precisely Lucene's
 ``[MUST m..., SHOULD s...]`` BooleanQuery contract.
 
-Restrictions (documented, raised loudly, not silently wrong):
-- ``must_not`` only at the TOP boolean level — the engine's in-kernel
-  exclusion is global per request; a nested NOT under an OR has no
-  exact compilation onto it.
-- a phrase must be the WHOLE query — phrase-as-clause needs a full
-  phrase match set intersected with the scored candidates, which the
-  top-k kernels do not expose (the exhaustive join fallback would
-  materialize corpus-sized match sets; refusing is the scale-honest
-  choice).
+Nested ``must_not`` compiles onto the kernels' in-tree ``AndNot``
+evaluation (top-level negation keeps the engine's certified global
+``exclude`` argument — identical semantics). A PHRASE may appear as
+any clause: it compiles to a pseudo-leaf whose per-segment candidate
+array is the phrase's adjacency match set from the positional sidecar
+(engine ``phrases=``); its scoring contract is the engine's documented
+one — a phrase scores as its distinct words' BM25 sum, and under this
+engine's TAAT contract a candidate recalled by ANY clause is scored
+over every query word it contains.
+
+Lucene edge semantics compiled exactly (not silently approximated):
+- a MUST clause whose multi-term expansion matches NO dictionary term
+  makes the whole level match NOTHING (``Compiled.match_none``) — the
+  Empty-pruning combinators alone would silently drop the constraint;
+- a nested group with only negative clauses matches nothing (Lucene's
+  pure-prohibited BooleanQuery); top-level pure negation stays a loud
+  ``QueryParseError`` (nothing to rank);
+- fuzzy expansion uses ``prefix_len=0`` — Lucene FuzzyQuery's default
+  (an edit may change the first character).
+
+Restriction that remains: ``min_should_match``/pruned-mode arguments
+keep their flat-query contracts (engine-level, unchanged).
 
 Multi-term expansions (fuzzy/wildcard/regexp/prefix) happen at compile
 time against the term dictionary (engine.expand_*: anchored,
@@ -54,10 +67,10 @@ search — same plan shape as any other query.
 
 The compiler is duck-typed over BOTH serving tiers: `SearchEngine`
 (Spark scatter-gather) and `serving.LocalSearcher` (resident
-point-query tier), which exposes the same expand_*/search surface —
-the same string returns bitwise-identical rankings from either
-(tests/test_local_serving.py). Phrases need the positional sidecar and
-so are SearchEngine-only.
+point-query tier), which exposes the same expand_*/search/
+search_phrase surface — the same string returns bitwise-identical
+rankings from either (tests/test_local_serving.py), phrases included
+(both read the positional sidecar).
 """
 
 from __future__ import annotations
@@ -65,8 +78,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dc_field
 
-from quicker_spark.plans.term_query import (And, NewTermQuery, Or,
-                                            TermQuery)
+from quicker_spark.plans.term_query import (And, AndNot, NewTermQuery,
+                                            Or, TermQuery)
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 
@@ -359,11 +372,52 @@ class Compiled:
     tree: TermQuery | None = None
     boosts: dict = dc_field(default_factory=dict)
     exclude: TermQuery | None = None
-    phrase: Leaf | None = None
+    phrase: Leaf | None = None          # whole-query phrase fast path
+    phrases: tuple = ()                 # PhraseSpec clauses (pseudo-leaves)
+    match_none: bool = False            # Lucene: empty MUST expansion
+
+
+# sentinel: a subtree that PROVABLY matches no document (a MUST clause
+# whose dictionary expansion came up empty). Lucene's BooleanQuery
+# returns zero hits for the whole level — silently dropping the clause
+# (what Empty-pruning And() would do) would return hits that violate
+# the query as written
+_MATCH_NONE = object()
+
+
+class _Ctx:
+    """Per-compile state: pseudo-leaf allocation for phrase clauses."""
+
+    def __init__(self):
+        self.phrases: list = []
+        self._n = 0
+
+    def add_phrase(self, leaf: Leaf, default_field: str,
+                   score_words: bool, boosts: dict) -> TermQuery:
+        from quicker_spark.engine import PhraseSpec
+        if not leaf.text:
+            raise QueryParseError(
+                "phrase has no tokens under the [a-z0-9_] alphabet")
+        key = f"\x02p{self._n}"
+        self._n += 1
+        f = leaf.field or default_field
+        self.phrases.append(
+            PhraseSpec(key, f, tuple(leaf.text), int(leaf.param),
+                       score_words))
+        if score_words and leaf.boost != 1.0:
+            # a phrase scores as its distinct words' BM25 sum, so the
+            # phrase boost scales each constituent's weight
+            for w in leaf.text:
+                tk = f"{f}\x01{w}"
+                boosts[tk] = max(boosts.get(tk, 0.0), leaf.boost)
+        return TermQuery(keyword=key)
 
 
 def _expand_leaf(eng, leaf: Leaf, default_field: str,
-                 boosts: dict, max_expansions: int) -> TermQuery:
+                 boosts: dict, max_expansions: int):
+    """Compile a non-phrase leaf; multi-term expansions that match NO
+    dictionary term return ``_MATCH_NONE`` (the caller decides: a MUST
+    context makes the level match nothing; a SHOULD context drops it)."""
     f = leaf.field or default_field
     if leaf.kind == "term":
         q = NewTermQuery(f, leaf.text[0])
@@ -374,7 +428,12 @@ def _expand_leaf(eng, leaf: Leaf, default_field: str,
         keys = eng.expand_prefix(f, leaf.text[0],
                                  max_expansions=max_expansions)
     elif leaf.kind == "fuzzy":
+        # prefix_len=0 = Lucene FuzzyQuery's default (edits may change
+        # the first character); both tiers' expanders support it — the
+        # dictionary slice is the whole field vocabulary, bounded by
+        # the per-shard term-stats table
         keys = eng.expand_fuzzy(f, leaf.text[0], max_edits=leaf.param,
+                                prefix_len=0,
                                 max_expansions=max_expansions)
     elif leaf.kind == "wildcard":
         from quicker_spark.engine import SearchEngine
@@ -384,8 +443,10 @@ def _expand_leaf(eng, leaf: Leaf, default_field: str,
     elif leaf.kind == "regexp":
         keys = eng.expand_regexp(f, leaf.text[0],
                                  max_expansions=max_expansions)
-    else:
+    else:  # pragma: no cover — phrases route through _Ctx.add_phrase
         raise QueryParseError(f"phrase not allowed here: {leaf}")
+    if not keys:
+        return _MATCH_NONE
     # expand_* return full field\x01word term keys
     leaves = [TermQuery(keyword=t) for t in keys]
     if leaf.boost != 1.0:
@@ -395,40 +456,64 @@ def _expand_leaf(eng, leaf: Leaf, default_field: str,
 
 
 def _compile_node(eng, node, default_field: str, boosts: dict,
-                  max_expansions: int, top: bool) -> tuple:
-    """Returns (tree, exclude_or_None)."""
+                  max_expansions: int, top: bool, ctx: _Ctx,
+                  negated: bool = False):
+    """Returns (tree | _MATCH_NONE, exclude_or_None).
+
+    Occur compilation per level: musts M, shoulds S, must_nots N ->
+    positive part as documented on the module; N becomes the GLOBAL
+    exclude at the top level (the engine's certified ``exclude``
+    argument) and an in-tree ``AndNot`` at any nested level (the
+    kernels' nested-must_not evaluation). A _MATCH_NONE MUST child
+    makes the level _MATCH_NONE; _MATCH_NONE SHOULD/NOT children are
+    dropped (Lucene BooleanQuery semantics both ways)."""
     if isinstance(node, Leaf):
+        if node.kind == "phrase":
+            return ctx.add_phrase(node, default_field,
+                                  not negated, boosts), None
         return _expand_leaf(eng, node, default_field, boosts,
                             max_expansions), None
     musts, shoulds, nots = [], [], []
+    none_must = False
     for occur, child in node.clauses:
         if occur == MUST_NOT:
-            if not top:
-                raise QueryParseError(
-                    "must_not (-/NOT) is only supported at the top "
-                    "boolean level — the engine's in-kernel exclusion "
-                    "is global per request")
-            if isinstance(child, Leaf) and child.kind == "phrase":
-                raise QueryParseError("cannot negate a phrase")
             sub, _ = _compile_node(eng, child, default_field, {},
-                                   max_expansions, top=False)
-            nots.append(sub)
+                                   max_expansions, top=False, ctx=ctx,
+                                   negated=True)
+            if sub is not _MATCH_NONE:
+                nots.append(sub)
             continue
         sub, _ = _compile_node(eng, child, default_field, boosts,
-                               max_expansions, top=False)
+                               max_expansions, top=False, ctx=ctx,
+                               negated=negated)
+        if sub is _MATCH_NONE:
+            if occur == MUST:
+                none_must = True
+            continue  # SHOULD: an empty expansion drops
         (musts if occur == MUST else shoulds).append(sub)
+    if none_must:
+        return _MATCH_NONE, None
     # explicit AND op promotes its direct SHOULD children in _merge, so
     # here shoulds under an AND node can only come from nested parens
     if node.op == "AND" and shoulds:
         musts, shoulds = musts + shoulds, []
+    if not musts and not shoulds:
+        if nots and top:
+            # top-level pure negation: loud error (existing contract)
+            return Or(), Or(*nots)
+        # nested pure-negative group matches NOTHING (Lucene: a
+        # BooleanQuery with only prohibited clauses has no hits) — and
+        # so does a level whose every positive clause expanded empty
+        return _MATCH_NONE, None
     if musts and shoulds:
         tree = And(*musts, Or(*shoulds, *musts))
     elif musts:
         tree = And(*musts)
     else:
         tree = Or(*shoulds)
-    exclude = Or(*nots) if nots else None
-    return tree, exclude
+    if top:
+        return tree, (Or(*nots) if nots else None)
+    return (AndNot(tree, *nots) if nots else tree), None
 
 
 def compile_string(eng, qs: str, default_field: str = "content",
@@ -436,7 +521,7 @@ def compile_string(eng, qs: str, default_field: str = "content",
                    max_expansions: int = 1024) -> Compiled:
     """Parse + compile a query string against an engine's dictionary."""
     node = parse(qs, default_op=default_op)
-    # whole-query phrase?
+    # whole-query phrase? (fast path onto the dedicated phrase scorer)
     if isinstance(node, Leaf) and node.kind == "phrase":
         return Compiled(phrase=node)
     if isinstance(node, Bool) and len(node.clauses) == 1:
@@ -444,25 +529,21 @@ def compile_string(eng, qs: str, default_field: str = "content",
         if isinstance(only, Leaf) and only.kind == "phrase" \
                 and occur != MUST_NOT:
             return Compiled(phrase=only)
-    if _contains_phrase(node):
-        raise QueryParseError(
-            "a phrase must be the whole query — phrase-as-clause has "
-            "no exact compilation onto the top-k kernels (see module "
-            "docstring)")
     boosts: dict = {}
+    ctx = _Ctx()
     tree, exclude = _compile_node(eng, node, default_field, boosts,
-                                  max_expansions, top=True)
+                                  max_expansions, top=True, ctx=ctx)
+    if tree is _MATCH_NONE:
+        # some positive clause was WRITTEN but its expansion matches no
+        # dictionary term: the query as a whole matches nothing
+        # (Lucene MUST semantics) — compiled, not an error
+        return Compiled(match_none=True)
     if tree.empty():
         raise QueryParseError(
             f"query {qs!r} has no positive scorable clause (pure "
-            "negation or all expansions empty) — nothing to rank")
-    return Compiled(tree=tree, boosts=boosts, exclude=exclude)
-
-
-def _contains_phrase(node) -> bool:
-    if isinstance(node, Leaf):
-        return node.kind == "phrase"
-    return any(_contains_phrase(c) for _, c in node.clauses)
+            "negation) — nothing to rank")
+    return Compiled(tree=tree, boosts=boosts, exclude=exclude,
+                    phrases=tuple(ctx.phrases))
 
 
 def search_string(eng, qs: str, k: int = 10,
@@ -473,11 +554,15 @@ def search_string(eng, qs: str, k: int = 10,
     c = compile_string(eng, qs, default_field=default_field,
                        default_op=default_op,
                        max_expansions=max_expansions)
+    if c.match_none:
+        # an empty tree resolves to the engine's valid-but-matches-
+        # nothing path on both tiers (same result schema)
+        return eng.search(Or(), k=k, **search_kw)
     if c.phrase is not None:
         if not hasattr(eng, "search_phrase"):
             raise QueryParseError(
                 "phrase queries need the positional serving path "
-                "(SearchEngine + build_positions); this engine "
+                "(build_positions sidecar); this engine "
                 f"({type(eng).__name__}) has none")
         kw = {k_: v for k_, v in search_kw.items()
               if k_ in ("on", "off", "or_flags", "hydrate")}
@@ -485,4 +570,4 @@ def search_string(eng, qs: str, k: int = 10,
                                  field=c.phrase.field or default_field,
                                  k=k, gap=c.phrase.param, **kw)
     return eng.search(c.tree, k=k, boosts=c.boosts or None,
-                      exclude=c.exclude, **search_kw)
+                      exclude=c.exclude, phrases=c.phrases, **search_kw)

@@ -107,6 +107,10 @@ class LocalSearcher:
         self._df_global: dict[str, int] = {}
         self._seg_enc: dict[int, dict] = {}   # segment -> {term: Encoded}
         self._seg_dec: dict[int, dict] = {}   # segment -> {term: decoded}
+        # positional-sidecar residency (phrase serving): term -> sidecar
+        # rows, LRU-bounded by the same cap as the postings cache
+        self._pos_ds = None                   # opened lazily (optional)
+        self._pos_rows: OrderedDict[str, pd.DataFrame] = OrderedDict()
 
     # -- residency ----------------------------------------------------------
     def _check_fresh(self) -> None:
@@ -177,6 +181,87 @@ class LocalSearcher:
         pdf["df_global"] = (pdf["term"].map(self._dfg_live)
                             .astype(np.int64))
         return pdf
+
+    # -- positional sidecar (phrase serving) --------------------------------
+    def _positions_dataset(self, fields: set[str]):
+        """Open (once) and validate the positional sidecar for the
+        phrase fields — same errors as the Spark path."""
+        from quicker_spark.operators.positions import positions_meta
+
+        meta = positions_meta(self.index_dir)
+        if meta is None:
+            raise ValueError(
+                "phrase queries need the positional sidecar; run "
+                "operators.positions.build_positions(spark, index_dir) "
+                "first")
+        for f in fields:
+            if f not in meta["fields"]:
+                raise ValueError(
+                    f"field {f!r} has no positions (sidecar covers "
+                    f"{meta['fields']})")
+        if self._pos_ds is None:
+            import pyarrow.dataset as pads
+            self._pos_ds = pads.dataset(
+                os.path.join(self.index_dir, "positions"),
+                partitioning="hive")
+        return self._pos_ds
+
+    def _gather_positions(self, terms: set[str]) -> dict[str, pd.DataFrame]:
+        """Sidecar rows per phrase term — the same bucket-directory +
+        term-IN pruned read the postings cache uses, LRU-resident."""
+        import pyarrow.compute as pc
+
+        missing = sorted(t for t in terms if t not in self._pos_rows)
+        for t in terms - set(missing):
+            self._pos_rows.move_to_end(t)
+        if missing:
+            filt = pc.field("term").isin(missing)
+            if self._has_bucket and "bucket" in self._pos_ds.schema.names:
+                bks = sorted({term_bucket(t, self._n_buckets)
+                              for t in missing})
+                filt = pc.field("bucket").isin(bks) & filt
+            pdf = self._pos_ds.to_table(filter=filt).to_pandas()
+            for t in missing:
+                self._pos_rows[t] = pdf[pdf["term"] == t]
+        snapshot = {t: self._pos_rows[t] for t in terms}
+        while len(self._pos_rows) > self.max_terms:
+            self._pos_rows.popitem(last=False)
+        return snapshot
+
+    def _phrase_extra_ids(self, phrases: tuple, segments,
+                          on: int, off: int,
+                          or_flags: tuple) -> dict[int, dict]:
+        """Per-segment pseudo-leaf candidate arrays: fold each phrase's
+        adjacency match set from the sidecar rows — the same
+        phrase_match_docs kernel the Spark path runs per segment."""
+        from quicker_spark.engine import PhraseSpec
+        from quicker_spark.functions.phrase import (decode_positions_row,
+                                                    phrase_match_docs)
+
+        specs = tuple(PhraseSpec(*p) for p in phrases)
+        self._positions_dataset({p.field for p in specs})
+        pterms = {k for p in specs for k in p.term_keys}
+        rows = self._gather_positions(pterms)
+        by_seg: dict[int, dict] = {}
+        decoded: dict[int, dict] = {}
+        for t, pdf in rows.items():
+            for _, r in pdf.iterrows():
+                seg = int(r["segment_id"])
+                decoded.setdefault(seg, {})[t] = decode_positions_row(
+                    bytes(r["ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+                    bytes(r["bits"]), bytes(r["pos"]))
+        for seg in segments:
+            dec = decoded.get(seg, {})
+            extra = {}
+            for p in specs:
+                if set(p.term_keys) <= set(dec):
+                    extra[p.key] = phrase_match_docs(
+                        list(p.term_keys), dec, gap=p.gap,
+                        on=on, off=off, or_flags=or_flags)
+                else:
+                    extra[p.key] = np.empty(0, dtype=np.int64)
+            by_seg[seg] = extra
+        return by_seg
 
     # -- term-dictionary expansion (the query-string compiler's needs) ------
     def _dict_slice(self, pref: str) -> pd.DataFrame:
@@ -259,13 +344,16 @@ class LocalSearcher:
                boosts: dict[str, float] | None = None,
                after: tuple[float, int] | None = None,
                exclude: TermQuery | None = None,
-               min_should_match: int = 0) -> pd.DataFrame:
+               min_should_match: int = 0,
+               phrases: tuple = ()) -> pd.DataFrame:
         """BM25 top-k -> pandas (doc_id, score), ordered (score desc,
         doc_id asc) — same contract, arguments, validation errors, and
-        bitwise scores as :meth:`SearchEngine.search`."""
+        bitwise scores as :meth:`SearchEngine.search` (including
+        ``phrases`` pseudo-leaf clauses, served from the local
+        positional sidecar)."""
         self._check_fresh()
         spec = resolve_search_spec(q, mode, boosts, after, exclude,
-                                   min_should_match)
+                                   min_should_match, phrases=phrases)
         if spec.empty:
             return _empty_hits()
         query = json.loads(q.to_json())
@@ -276,6 +364,11 @@ class LocalSearcher:
             return _empty_hits()
         groups = [(int(seg), g)
                   for seg, g in pdf.groupby("segment_id", sort=False)]
+        extra_by_seg: dict[int, dict] = {}
+        if spec.phrases:
+            extra_by_seg = self._phrase_extra_ids(
+                spec.phrases, [s for s, _ in groups],
+                on, off, tuple(or_flags))
 
         def _one(seg: int, g: pd.DataFrame):
             return _score_segment_rows(
@@ -287,7 +380,8 @@ class LocalSearcher:
                 enc_cache=self._seg_enc.setdefault(seg, {}),
                 dec_cache=self._seg_dec.setdefault(seg, {}),
                 boosts=boosts, after=spec.after, exclude=exclude_tree,
-                exclude_only=spec.neg_terms, min_match=spec.msm)
+                exclude_only=spec.neg_terms, min_match=spec.msm,
+                extra_leaf_ids=extra_by_seg.get(seg))
 
         if self.threads > 1 and len(groups) > 1:
             # the reference's per-worker scatter: disjoint segments score
@@ -305,6 +399,60 @@ class LocalSearcher:
         scores = (np.concatenate(out_scores) if out_scores
                   else np.empty(0, np.float64))
         # global merge = orderBy(score desc, doc_id asc).limit(k)
+        order = np.lexsort((ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
+                             "score": scores[order]})
+
+    def search_phrase(self, words, field: str = "content", k: int = 10,
+                      on: int = 0, off: int = 0, or_flags: tuple = (),
+                      gap: int = 0) -> pd.DataFrame:
+        """Exact-phrase / ordered-proximity BM25 top-k from the local
+        positional sidecar — same contract, errors, and bitwise scores
+        as :meth:`SearchEngine.search_phrase` (tested rank-identical).
+        Per segment: decode the phrase terms' sidecar rows, fold the
+        adjacency match set, score with the shared
+        ``score_segment_phrase`` kernel; global merge is the same
+        (score desc, doc_id asc) total order."""
+        from quicker_spark.functions.phrase import (decode_positions_row,
+                                                    score_segment_phrase)
+        from quicker_spark.model import bm25_idf
+
+        self._check_fresh()
+        self._positions_dataset({field})
+        words = [str(w).lower() for w in words if str(w)]
+        if not words:
+            return _empty_hits()
+        terms = [f"{field}\x01{w}" for w in words]
+        need = set(terms)
+        rows = self._gather_positions(need)
+        # engine parity: term stats left-join + fillna(0)
+        import pyarrow.compute as pc
+        ts = self._ts_ds.to_table(
+            filter=pc.field("term").isin(sorted(need)),
+            columns=["term", "df_global"]).to_pandas()
+        dfg = dict(zip(ts["term"], ts["df_global"].astype(np.int64)))
+        idf = {t: bm25_idf(int(self.stats["n_docs"]), int(dfg.get(t, 0)))
+               for t in need}
+        decoded: dict[int, dict] = {}
+        for t, pdf in rows.items():
+            for _, r in pdf.iterrows():
+                seg = int(r["segment_id"])
+                decoded.setdefault(seg, {})[t] = decode_positions_row(
+                    bytes(r["ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+                    bytes(r["bits"]), bytes(r["pos"]))
+        parts = []
+        for seg in sorted(decoded):
+            dec = decoded[seg]
+            if need <= set(dec):
+                parts.append(score_segment_phrase(
+                    terms, dec, idf, float(self.stats["avgdl"]), k,
+                    on, off, tuple(or_flags),
+                    float(self.stats["k1"]), float(self.stats["b"]),
+                    gap=int(gap)))
+        if not parts:
+            return _empty_hits()
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
         order = np.lexsort((ids, -scores))[:k]
         return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
                              "score": scores[order]})

@@ -27,6 +27,8 @@ def idx(spark, tmp_path_factory):
     shutil.rmtree(out, ignore_errors=True)
     build_index(spark, spark.createDataFrame(corpus_pdf(300)), out,
                 IndexConfig(seg_docs=100), resume=False)
+    from quicker_spark.operators.positions import build_positions
+    build_positions(spark, out, fields=("content",))
     return out
 
 
@@ -231,8 +233,37 @@ def test_search_string_local_equals_spark(eng, ls):
         assert local_hits == spark_hits, qs   # bitwise, not approx
 
 
-def test_search_string_local_phrase_raises(ls):
-    from quicker_spark.plans.qparse import QueryParseError, search_string
+def test_phrase_identity(eng, ls):
+    # whole-query phrase: local sidecar serving == Spark sidecar path
+    for gap in (0, 3):
+        want = [(r["doc_id"], r["score"]) for r in
+                eng.search_phrase(["def", "tok50"], k=8, gap=gap).collect()]
+        got_pdf = ls.search_phrase(["def", "tok50"], k=8, gap=gap)
+        got = list(zip(got_pdf["doc_id"].tolist(),
+                       got_pdf["score"].tolist()))
+        assert got == want and (got or gap == 0)
 
-    with pytest.raises(QueryParseError, match="positional"):
-        search_string(ls, '"def tok50"')
+
+def test_phrase_clause_identity(eng, ls):
+    # phrase as one clause of a boolean — pseudo-leaf path, both tiers
+    from quicker_spark.engine import PhraseSpec
+    from quicker_spark.plans.term_query import TermQuery
+
+    P = TermQuery(keyword="\x02p0")
+    spec = (PhraseSpec("\x02p0", "content", ("def", "tok50"), 3, True),)
+    tree = And(P, Or(_t("return"), P))
+    _assert_same(eng.search(tree, k=8, phrases=spec),
+                 ls.search(tree, k=8, phrases=spec))
+
+
+def test_search_string_phrase_local_identity(eng, ls):
+    from quicker_spark.plans.qparse import search_string
+
+    for qs in ('"def tok50"~3', '+"def tok50"~3 return',
+               'def -"def tok50"'):
+        want = [(r["doc_id"], r["score"]) for r in
+                search_string(eng, qs, k=8).collect()]
+        got_pdf = search_string(ls, qs, k=8)
+        got = list(zip(got_pdf["doc_id"].tolist(),
+                       got_pdf["score"].tolist()))
+        assert got == want and got

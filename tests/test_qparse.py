@@ -86,10 +86,8 @@ def test_parse_boost_and_defaults():
 
 def test_parse_errors():
     for bad in ("", "  ", "(a", 'a"b', "*", "a^x", "a^-1", "a^0",
-                "foo-bar", "field:", "a AND (b OR -c) AND d"):
+                "foo-bar", "field:"):
         with pytest.raises(QueryParseError):
-            if "(" in bad and "-c" in bad:
-                raise QueryParseError("nested not checked at compile")
             parse(bad)
 
 
@@ -204,11 +202,81 @@ def test_expansion_composes_into_bool(engine):
 
 
 def test_compile_restrictions(engine):
-    with pytest.raises(QueryParseError, match="top boolean level"):
-        compile_string(engine, "a AND (b OR -c) AND d")
-    with pytest.raises(QueryParseError, match="whole query"):
-        compile_string(engine, 'def "hash table"')
     with pytest.raises(QueryParseError, match="scorable"):
         compile_string(engine, "-def")
-    with pytest.raises(QueryParseError, match="whole query|negate"):
-        compile_string(engine, 'def -"hash table"')
+
+
+def test_nested_must_not(engine):
+    # def OR (return AND NOT tok50) — NOT nested under OR
+    got = _hits(search_string(engine, "def OR (return AND NOT tok50)",
+                              k=10))
+    from quicker_spark.plans.term_query import AndNot
+    tree = Or(t("def"), AndNot(t("return"), t("tok50")))
+    want = _hits(engine.search(tree, k=10))
+    assert got == want and got
+    # candidates honour the nested subtraction exactly
+    all_hits = {d for d, _ in
+                _hits(search_string(engine,
+                                    "def OR (return AND NOT tok50)",
+                                    k=10 ** 6))}
+    b = lambda q: {r["doc_id"] for r in engine.search_bool(q).collect()}
+    assert all_hits == b(t("def")) | (b(t("return")) - b(t("tok50")))
+
+
+def test_nested_pure_negative_group_matches_nothing(engine):
+    # Lucene: a BooleanQuery with only prohibited clauses has no hits,
+    # so the AND level it sits under matches nothing
+    got = _hits(search_string(engine, "def AND (-tok50 -return)", k=10))
+    assert got == []
+
+
+def test_empty_must_expansion_matches_nothing(engine):
+    # '+zzzz* +def': the MUST prefix expands to no dictionary term —
+    # Lucene MUST semantics return ZERO hits, never just 'def' hits
+    c = compile_string(engine, "+zzzz* +def")
+    assert c.match_none
+    assert _hits(search_string(engine, "+zzzz* +def", k=10)) == []
+    # SHOULD-context empty expansion still just drops
+    got = _hits(search_string(engine, "zzzz* def", k=10))
+    want = _hits(engine.search(t("def"), k=10))
+    assert got == want and got
+    # ...but ALL positive clauses empty -> nothing (not an error)
+    assert _hits(search_string(engine, "zzzz* yyyy*", k=10)) == []
+
+
+def test_phrase_as_must_clause(engine):
+    # '+"def tok50"~4 return' — phrase narrows candidates, words score
+    got = _hits(search_string(engine, '+"def tok50"~4 return', k=10))
+    assert got
+    phrase_docs = {r["doc_id"] for r in
+                   engine.search_phrase(["def", "tok50"], gap=4,
+                                        k=10 ** 6).collect()}
+    assert {d for d, _ in got} <= phrase_docs
+    # hand-built equivalent: pseudo-leaf tree + PhraseSpec
+    from quicker_spark.engine import PhraseSpec
+    P = TermQuery(keyword="\x02p0")
+    spec = (PhraseSpec("\x02p0", "content", ("def", "tok50"), 4, True),)
+    tree = And(P, Or(t("return"), P))
+    want = _hits(engine.search(tree, k=10, phrases=spec))
+    assert got == want
+
+
+def test_phrase_as_should_clause(engine):
+    got = _hits(search_string(engine, '"def tok50" tok51', k=10 ** 6))
+    phrase_docs = {r["doc_id"] for r in
+                   engine.search_phrase(["def", "tok50"],
+                                        k=10 ** 6).collect()}
+    b = {r["doc_id"] for r in engine.search_bool(t("tok51")).collect()}
+    assert {d for d, _ in got} == phrase_docs | b
+
+
+def test_negated_phrase(engine):
+    got = _hits(search_string(engine, 'def -"def tok50"', k=10 ** 6))
+    phrase_docs = {r["doc_id"] for r in
+                   engine.search_phrase(["def", "tok50"],
+                                        k=10 ** 6).collect()}
+    b = {r["doc_id"] for r in engine.search_bool(t("def")).collect()}
+    assert {d for d, _ in got} == b - phrase_docs
+    # and the surviving docs score identically to the plain query
+    plain = dict(_hits(engine.search(t("def"), k=10 ** 6)))
+    assert all(abs(plain[d] - s) < 1e-12 for d, s in got)
