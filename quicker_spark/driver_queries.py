@@ -984,6 +984,44 @@ def q_querystring_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+QS_PHRASE_QUERY = '+"table hash" +lang:en query'
+QS_NESTEDNOT_QUERY = "query OR (table AND NOT merge)"
+
+
+def q_querystring_phrase_top10(spark, sf_dir):
+    """Query string mixing a PHRASE clause with term and field clauses
+    — the Lucene classic-parser shape the round-4 verdict flagged as
+    the single most common real query after bare terms. The phrase
+    compiles to a pseudo-leaf whose per-segment candidate array is the
+    adjacency match set from the positional sidecar; candidates =
+    phrase matches ∩ lang:en docs; scored terms = the phrase's words +
+    'query' + the lang term (the engine's documented phrase-scoring
+    contract: a phrase scores as its distinct words' BM25 sum). The
+    oracle rebuilds it field-namespaced: phrase candidates via the
+    separator-run regex over the shared tokenizer spec, lang terms
+    verbatim with tf=1, dl = content token count for all terms."""
+    from quicker_spark.plans.qparse import search_string
+    eng = get_pos_engine(spark, sf_dir)
+    hits = search_string(eng, QS_PHRASE_QUERY, k=10)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
+def q_querystring_nestednot_top10(spark, sf_dir):
+    """Query string with NOT nested under OR — ES bool queries nest
+    must_not at any depth; round 4 supported top-level exclusion only.
+    'query OR (table AND NOT merge)' compiles the inner group onto the
+    kernels' in-tree AndNot evaluation (setdiff against the node's own
+    candidate set, never a complement): candidates = docs(query) ∪
+    (docs(table) − docs(merge)); every candidate is scored over the
+    positive terms it contains ('merge' is scanned for the subtraction
+    but never scores). The oracle expresses the same candidate algebra
+    over the token CTE."""
+    from quicker_spark.plans.qparse import search_string
+    eng = get_engine(spark, sf_dir)
+    hits = search_string(eng, QS_NESTEDNOT_QUERY, k=10)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_facet_cardinality(spark, sf_dir):
     """Cardinality facet (ES cardinality aggregation): distinct repos
     per lang over the FULL match set of an AND query — exact two-phase
@@ -1396,7 +1434,39 @@ def q_ivf_ann_overlap10(spark, sf_dir):
                                  "k long, min_overlap long, ok boolean")
 
 
+# Registry ORDER is a coverage contract: the driver's correctness gate
+# checks a 50-query prefix per round, so components whose last driver
+# row is oldest go FIRST (round-4 verdict: rotate so every component
+# lands a driver row at least every other round). Round-5 front: the 20
+# components the r1-r4 gates never reached (r4-local parity only) +
+# this round's new queries; the 48 with fresh r4 driver rows rotate to
+# the back and keep local-parity coverage (scripts/parity_check.py +
+# tests/test_driver_parity.py run ALL of them).
 QUERIES = {
+    # -- never driver-checked before round 5 + new this round ----------
+    "dup_clusters": q_dup_clusters,
+    "near_dedup_keep": q_near_dedup_keep,
+    "bool_flags_on": q_bool_flags_on,
+    "bool_flags_or": q_bool_flags_or,
+    "count_docs": q_count_docs,
+    "exact_dup": q_exact_dup,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "minhash_sig": q_minhash_sig,
+    "lsh_candidates": q_lsh_candidates,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash16": q_simhash16,
+    "fingerprint": q_fingerprint,
+    "binary_meta": q_binary_meta,
+    "cosine_top10": q_cosine_top10,
+    "embed_near_pairs": q_embed_near_pairs,
+    "lsh_ann_overlap10": q_lsh_ann_overlap10,
+    "ivf_ann_overlap10": q_ivf_ann_overlap10,
+    "winnow_fp": q_winnow_fp,
+    "querystring_phrase_top10": q_querystring_phrase_top10,
+    "querystring_nestednot_top10": q_querystring_nestednot_top10,
+    # -- r4 driver-certified, rotated behind the fresh components ------
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
     "term_df": q_term_df,
@@ -1447,26 +1517,6 @@ QUERIES = {
     "bool_and": q_bool_and,
     "bool_not": q_bool_not,
     "bm25_not_top10": q_bm25_not_top10,
-    "bool_flags_on": q_bool_flags_on,
-    "bool_flags_or": q_bool_flags_or,
-    "count_docs": q_count_docs,
-    "exact_dup": q_exact_dup,
-    "token_stats": q_token_stats,
-    "quality": q_quality,
-    "lang_id": q_lang_id,
-    "minhash_sig": q_minhash_sig,
-    "lsh_candidates": q_lsh_candidates,
-    "dup_clusters": q_dup_clusters,
-    "near_dedup_keep": q_near_dedup_keep,
-    "jaccard_pairs": q_jaccard_pairs,
-    "simhash16": q_simhash16,
-    "fingerprint": q_fingerprint,
-    "binary_meta": q_binary_meta,
-    "cosine_top10": q_cosine_top10,
-    "embed_near_pairs": q_embed_near_pairs,
-    "lsh_ann_overlap10": q_lsh_ann_overlap10,
-    "ivf_ann_overlap10": q_ivf_ann_overlap10,
-    "winnow_fp": q_winnow_fp,
 }
 
 
@@ -1786,6 +1836,54 @@ ORDER BY score DESC, doc_id LIMIT 10
         term_where=("(term IN ('merge', 'table') OR term LIKE 'quer%')"),
         cand_having="max(CASE WHEN term = 'table' THEN 1 ELSE 0 END) = 1",
         exclude_terms=("spark",)),
+    # '+"table hash" +lang:en query': candidates = adjacency matches ∩
+    # lang:en; scored terms field-namespaced (phrase words + should
+    # term from content, lang verbatim tf=1); dl = content tokens
+    "querystring_phrase_top10": f"""
+WITH base AS (SELECT doc_id, text, lang FROM documents),
+toks AS (SELECT doc_id, t.term FROM base,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)),
+dl AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::double AS dl
+       FROM base),
+stats AS (SELECT count(*)::double AS n,
+                 sum(dl)::double / count(*)::double AS avgdl FROM dl),
+cand AS (SELECT doc_id FROM base WHERE lang = 'en' AND
+         regexp_matches(lower(text),
+         '(^|[^a-z0-9_]){PHRASE_TERMS[0]}[^a-z0-9_]+{PHRASE_TERMS[1]}([^a-z0-9_]|$)')),
+tf AS (
+  SELECT doc_id, 'c:' || term AS term, count(*)::double AS tf
+  FROM toks WHERE term IN ('{PHRASE_TERMS[0]}','{PHRASE_TERMS[1]}','query')
+  GROUP BY doc_id, term
+  UNION ALL
+  SELECT doc_id, 'l:' || lang AS term, 1.0::double AS tf
+  FROM base WHERE lang = 'en'
+),
+df AS (SELECT term, count(*)::double AS dfv FROM tf GROUP BY term),
+idf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) + 1.0) AS idf
+        FROM df, stats),
+scores AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * (tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.term = idf.term
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    # 'query OR (table AND NOT merge)': nested-NOT candidate algebra
+    "querystring_nestednot_top10": sql_bm25_topk(
+        terms=("query", "table"),
+        cand_base_where=(
+            "doc_id IN (SELECT doc_id FROM toks WHERE term = 'query') "
+            "OR (doc_id IN (SELECT doc_id FROM toks WHERE term = 'table') "
+            "AND doc_id NOT IN "
+            "(SELECT doc_id FROM toks WHERE term = 'merge'))")),
     "facet_cardinality": (
         f"WITH toks AS ({SQL_TOKS}), "
         "cand AS (SELECT doc_id FROM toks WHERE term IN ('"
