@@ -1046,6 +1046,20 @@ def q_stream_hourly(spark, sf_dir):
     return windowed_event_stats(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_hourly_append(spark, sf_dir):
+    """The PRODUCTION streaming shape, oracle-certified: withWatermark
+    + APPEND output over the same events stream — state evicted as
+    windows finalize, only closed windows emitted. Under AvailableNow
+    the terminal no-data micro-batch advances the watermark to
+    max(ts) - 3h and flushes exactly the windows whose end is at or
+    before it, so the streaming result equals the batch aggregation
+    restricted to those closed windows — the twin the oracle computes.
+    Complements `stream_hourly` (complete mode, every window): between
+    them both documented modes of streaming/analytics.py are certified."""
+    from quicker_spark.streaming.analytics import windowed_event_stats_append
+    return windowed_event_stats_append(spark, f"{sf_dir}/events.parquet")
+
+
 def q_facet_stats(spark, sf_dir):
     """Numeric stats facet (ES stats-aggregation): per-lang count / min
     / max / sum of doc_len over the FULL match set of an AND query. One
@@ -1466,6 +1480,7 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "querystring_phrase_top10": q_querystring_phrase_top10,
     "querystring_nestednot_top10": q_querystring_nestednot_top10,
+    "stream_hourly_append": q_stream_hourly_append,
     # -- r4 driver-certified, rotated behind the fresh components ------
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
@@ -1898,6 +1913,17 @@ ORDER BY score DESC, doc_id LIMIT 10
         "AS hour, event_type, count(*)::bigint AS n, "
         "sum(round(value * 100)::bigint)::bigint AS sum_x2 "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    # append + watermark: only windows CLOSED at the final watermark
+    # (max(ts) - 3h) are emitted
+    "stream_hourly_append": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        "AS hour, event_type, count(*)::bigint AS n, "
+        "sum(round(value * 100)::bigint)::bigint AS sum_x2 "
+        "FROM events "
+        "WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR "
+        "<= (SELECT max(ts) FROM events) - INTERVAL 3 HOUR "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "facet_quantiles": (
         f"WITH toks AS ({SQL_TOKS}), "

@@ -81,3 +81,64 @@ def windowed_event_stats(spark: SparkSession, events_path: str,
     rows = out.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, out.schema)
+
+
+def windowed_event_stats_append(spark: SparkSession, events_path: str,
+                                window: str = "1 hour",
+                                delay: str = "3 hours",
+                                ts_col: str = "ts",
+                                group_col: str = "event_type",
+                                value_col: str = "value") -> DataFrame:
+    """The PRODUCTION shape of :func:`windowed_event_stats`:
+    ``withWatermark(delay)`` + **append** output — state is evicted as
+    windows finalize, so the aggregation holds only the open windows
+    regardless of how long the stream runs (the unbounded-state hazard
+    ``complete`` mode would have on a continuous deployment).
+
+    Determinism contract for the one-shot harness run: over a static
+    directory under ``Trigger.AvailableNow``, the terminal no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``,
+    default on) advances the watermark to ``max(ts) - delay`` and
+    flushes every FINALIZED window — exactly the windows whose end is
+    at or before that watermark. Result = the batch aggregation
+    restricted to those closed windows, which is the hash-comparable
+    oracle twin (``stream_hourly_append``). Events that arrive behind
+    the watermark after their window closed are DROPPED, never
+    re-emitted — the append contract (tested with an out-of-order
+    two-file stream in tests/test_streaming_analytics.py).
+
+    Returns ``(hour, <group_col>, n, sum_x2)`` for the closed windows;
+    open windows (the last ``delay`` of event time) remain in state and
+    are not emitted — a continuous deployment emits them as the
+    watermark passes."""
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isdir(events_path):
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(events_path))
+    else:
+        parent, fname = os.path.split(events_path.rstrip("/"))
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .option("pathGlobFilter", fname).parquet(parent))
+    # watermarks require TIMESTAMP (tz-aware); the events table stores
+    # TIMESTAMP_NTZ — the cast is wall-clock-preserving under the
+    # engine's pinned UTC session timezone
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col) * F.lit(100.0)).cast("long")
+    agg = (src.withWatermark(ts_col, delay)
+              .groupBy(F.window(ts_col, window).alias("_w"), group_col)
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(cents).alias("sum_x2")))
+    name = f"stream_app_{uuid.uuid4().hex[:12]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format(F.col("_w.start"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour"),
+        F.col(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_x2").cast("long").alias("sum_x2"))
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
