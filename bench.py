@@ -252,6 +252,21 @@ def main() -> None:
     timings["querystring_top10"] = median_time(
         lambda: search_string(eng, "merge +table -spark quer*", k=10,
                               max_expansions=4096).collect())
+    # round-5 serving surface: phrase-as-clause (positions UNION scan),
+    # nested must_not (in-tree AndNot), and the same string served from
+    # the resident tier (local sidecar reads, no Spark job)
+    timings["querystring_phrase_top10"] = median_time(
+        lambda: search_string(eng, '+"table hash" +lang:en query',
+                              k=10).collect())
+    timings["querystring_nestednot_top10"] = median_time(
+        lambda: search_string(eng, "query OR (table AND NOT merge)",
+                              k=10).collect())
+    lat = []
+    for _ in range(6):
+        t1 = time.time()
+        search_string(ls, '+"table hash" +lang:en query', k=10)
+        lat.append(time.time() - t1)
+    timings["local_phrase_p50"] = statistics.median(lat)
 
     # -- hybrid serving: BM25 + two recall lists fused by reciprocal rank --
     from quicker_spark.plans.searcher import (KeywordRecaller,
@@ -312,9 +327,13 @@ def main() -> None:
         lambda: textops.token_stats(docs).agg(F.sum("n_tokens")).collect(), 1)
     timings["winnow_fp"] = median_time(
         lambda: textops.winnow_fingerprints(docs).count(), 1)
-    from quicker_spark.streaming.analytics import windowed_event_stats
+    from quicker_spark.streaming.analytics import (
+        windowed_event_stats, windowed_event_stats_append)
     timings["stream_hourly"] = median_time(
         lambda: windowed_event_stats(
+            spark, os.path.join(sf_dir, "events.parquet")).count(), 1)
+    timings["stream_hourly_append"] = median_time(
+        lambda: windowed_event_stats_append(
             spark, os.path.join(sf_dir, "events.parquet")).count(), 1)
     from quicker_spark.operators import dedup
     timings["dup_clusters"] = median_time(

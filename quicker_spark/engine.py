@@ -860,9 +860,18 @@ class SearchEngine:
         specs = []
         all_terms: set[str] = set()
         for qid, q in queries.items():
-            terms = q.terms()
+            all_q = q.terms()
+            if any(t.startswith(PSEUDO_PREFIX) for t in all_q):
+                raise ValueError(
+                    f"queries[{qid!r}] has phrase pseudo-leaves — "
+                    "phrase clauses are solo-search only (the batch "
+                    "kernel scans postings, not the positional sidecar)")
+            terms = q.pos_terms()
             if not terms:
                 continue
+            # nested-must_not terms: scanned for the in-tree setdiff,
+            # never scored (exclude_only) — same split as solo search
+            nested_neg = all_q - terms
             q_msm = int(min_should_match.get(qid, 0))
             if q_msm > 1:
                 if not _is_flat_or(q):
@@ -872,9 +881,10 @@ class SearchEngine:
                 if q_msm > len(set(terms)):
                     continue  # quorum unreachable: no rows for this qid
             excl = excludes.get(qid)
-            neg_terms = (set(excl.terms()) - set(terms)) if excl else set()
+            neg_terms = nested_neg | (
+                (set(excl.terms()) - set(terms)) if excl else set())
             excl_json = excl.to_json() if excl and excl.terms() else None
-            strategy = ("taat" if excl_json or q_msm > 1
+            strategy = ("taat" if excl_json or q_msm > 1 or nested_neg
                         else "wand_auto" if _is_flat_or(q)
                         else "conj_auto" if _is_flat_and(q) else "taat")
             q_on, q_off, q_orf = flags.get(qid, (on, off, or_flags))
@@ -1084,10 +1094,17 @@ class SearchEngine:
         u`` is the exact float64 product every scorer accumulates
         (kernels.score_segment_exhaustive:431) — summing a doc's
         contribs in ascending word order reproduces its score
-        bitwise. Exclude-only terms never appear (they never contribute
-        to a score). No reference analog (the reference returns ids
-        only, index_service/sentinel.go:137-187)."""
-        terms = sorted(set(q.terms()))
+        bitwise. Exclude-only and nested-must_not terms never appear
+        (they never contribute to a score); phrase constituents do
+        (they carry the phrase's score). No reference analog (the
+        reference returns ids only, index_service/sentinel.go:137-187)."""
+        scored = {t for t in q.pos_terms()
+                  if not t.startswith(PSEUDO_PREFIX)}
+        for p in (search_kwargs.get("phrases") or ()):
+            p = PhraseSpec(*p)
+            if p.score_words:
+                scored |= set(p.term_keys)
+        terms = sorted(scored)
         empty_schema = ("doc_id long, field string, word string, "
                         "tf long, dl long, idf_w double, contrib double")
         if not terms:
@@ -1401,14 +1418,23 @@ class SearchEngine:
         rank within the full match set (field collapsing); cost is
         proportional to the match set, exactly like the boolean path."""
         terms = q.terms()
+        if any(t.startswith(PSEUDO_PREFIX) for t in terms):
+            raise ValueError(
+                "phrase pseudo-leaves are not supported on the "
+                "full-match-set scoring path (collapse/sort/facet) — "
+                "it scans postings, not the positional sidecar")
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double")
+        # nested-must_not terms: scanned for the in-tree setdiff,
+        # never scored — same split as the top-k path
+        neg = terms - q.pos_terms()
         n_docs = int(self.stats["n_docs"])
         kern = _make_topk_kernel(
             q.to_json(), n_docs, float(self.stats["avgdl"]),
             n_docs, on, off, tuple(or_flags), self.stats["k1"],
-            self.stats["b"], self.stats["block_size"], "taat", len(terms))
+            self.stats["b"], self.stats["block_size"], "taat",
+            len(terms - neg), exclude_only=tuple(sorted(neg)))
         ts = F.broadcast(
             self.term_stats.filter(F.col("term").isin(list(set(terms)))))
         return (self._postings_for(set(terms))
@@ -1768,8 +1794,15 @@ class SearchEngine:
                     or_flags: tuple = (), hydrate: bool = False) -> DataFrame:
         """All boolean matches, ascending doc_id — the reference's Search
         contract (returns every match, no ranking;
-        skiplist_reverse_index.go:214-227)."""
+        skiplist_reverse_index.go:214-227). Nested ``must_not`` in the
+        tree evaluates in-kernel (setdiff against the node's own
+        candidates); phrase pseudo-leaves are refused — this path scans
+        postings, not the positional sidecar."""
         terms = q.terms()
+        if any(t.startswith(PSEUDO_PREFIX) for t in terms):
+            raise ValueError(
+                "phrase pseudo-leaves are not supported on the boolean "
+                "path — it scans postings, not the positional sidecar")
         if not terms:
             return self._empty_bool(hydrate)
         kern = _make_bool_kernel(q.to_json(), on, off, tuple(or_flags),

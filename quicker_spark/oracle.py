@@ -119,8 +119,18 @@ class Oracle:
         if q.keyword:
             return self._leaf(q.keyword, on, off, or_flags)
         if q.must:
-            return intersect_sorted([self.eval_bool(c, on, off, or_flags) for c in q.must])
-        return union_sorted([self.eval_bool(c, on, off, or_flags) for c in q.should])
+            out = intersect_sorted(
+                [self.eval_bool(c, on, off, or_flags) for c in q.must])
+        else:
+            out = union_sorted(
+                [self.eval_bool(c, on, off, or_flags) for c in q.should])
+        if q.must_not and out:
+            # nested exclusion: positive matches minus the union of the
+            # must_not subtrees (same contract as kernels.eval_bool_tree)
+            neg = set(union_sorted(
+                [self.eval_bool(c, on, off, or_flags) for c in q.must_not]))
+            out = [d for d in out if d not in neg]
+        return out
 
     def search_bool(self, q: TermQuery, on: int = 0, off: int = 0,
                     or_flags=()) -> list[str]:
@@ -144,9 +154,10 @@ class Oracle:
     def search_topk(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
                     or_flags=()) -> list[OracleHit]:
         """Candidates = boolean tree matches (bit-filtered); score = sum of
-        BM25 over the tree's distinct leaf terms; ties -> doc_id asc."""
+        BM25 over the tree's distinct POSITIVE leaf terms (negated
+        subtrees never score); ties -> doc_id asc."""
         cands = self.eval_bool(q, on, off, or_flags)
-        terms = q.terms()
+        terms = q.pos_terms()
         scored = [(-self.score(d, terms), d) for d in cands]
         scored.sort()
         return [

@@ -176,3 +176,27 @@ def test_batch_plans_one_postings_scan(eng):
     scans = [ln for ln in plan.splitlines()
              if "Scan parquet" in ln and "postings" in ln]
     assert len(scans) == 1, plan
+
+
+def test_batch_nested_must_not_matches_single(eng):
+    """A nested-must_not tree multiplexed in a batch must equal the solo
+    search bitwise — the batch spec builder does the same pos/neg term
+    split (negated terms scanned, never scored) and forces TAAT."""
+    from quicker_spark.plans.term_query import AndNot
+
+    tree = Or(NewTermQuery("content", "def"),
+              AndNot(NewTermQuery("content", "return"),
+                     NewTermQuery("content", "tok50")))
+    qs = {"nn": tree, "plain": Or(NewTermQuery("content", "class"))}
+    batch = eng.search_many(qs, k=10).collect()
+    got = [(r["doc_id"], r["score"]) for r in batch if r["qid"] == "nn"]
+    want = [(r["doc_id"], r["score"])
+            for r in eng.search(tree, k=10).collect()]
+    assert got == want and got
+
+
+def test_batch_refuses_phrase_pseudo_leaves(eng):
+    from quicker_spark.plans.term_query import TermQuery
+
+    with pytest.raises(ValueError, match="pseudo"):
+        eng.search_many({"p": TermQuery(keyword="\x02p0")}, k=5)

@@ -94,3 +94,24 @@ def test_oracle_topk_tie_break_doc_id_asc():
     hits = o.search_topk(q, k=5)
     same = [h for h in hits if abs(h.score - hits[0].score) < 1e-12]
     assert [h.doc_id for h in same] == sorted(h.doc_id for h in same)
+
+
+def test_oracle_nested_must_not():
+    from quicker_spark.plans.term_query import AndNot
+
+    o = _tiny_oracle()
+    t = lambda w: NewTermQuery("content", w)
+    tree = Or(t("def"), AndNot(t("return"), t("tok5")))
+    got = o.eval_bool(tree)
+    d = set(o.eval_bool(t("def")))
+    r = set(o.eval_bool(t("return")))
+    x = set(o.eval_bool(t("tok5")))
+    assert got == sorted(d | (r - x))
+    # negated terms never score: hits score identically to the
+    # positive-terms-only sum
+    hits = o.search_topk(tree, k=5)
+    for h in hits:
+        assert math.isclose(
+            h.score, o.score(h.doc_id, {"content\x01def",
+                                        "content\x01return"}),
+            rel_tol=0, abs_tol=0)
