@@ -10,7 +10,9 @@ engine's existing certified primitives, adding NO new scoring code:
 
 Supported syntax (the Lucene classic-parser subset that maps exactly):
 
-- bare words, ``field:word`` (default field configurable)
+- bare words, ``field:word`` (default field configurable), and
+  field-scoped groups ``field:(a b OR c)`` — the field applies to
+  every leaf inside without one of its own
 - ``+word`` must, ``-word`` / ``NOT word`` must_not
 - ``AND`` / ``&&``, ``OR`` / ``||``, parentheses; implicit adjacency
   uses the default operator (OR, like Lucene)
@@ -176,6 +178,12 @@ def _lex(qs: str) -> list:
             if not fieldname:
                 raise QueryParseError(f"bad field clause {m.group()!r}")
             if not word:
+                # field:(...) — Lucene field-scoped group: the field
+                # applies to every leaf inside that has no explicit
+                # field of its own
+                if i < n and qs[i] == "(":
+                    toks.append(("FIELD", fieldname))
+                    continue
                 # field:/regex/ or field:"phrase" — the bare token
                 # stopped at the delimiter
                 if i < n and qs[i] == "/":
@@ -323,9 +331,32 @@ class _Parser:
             if self.take() != ")":
                 raise QueryParseError("unbalanced parentheses")
             return node
+        if isinstance(t, tuple) and t[0] == "FIELD":
+            # field-scoped group: field:(...) — scope the field onto
+            # every leaf inside that has none of its own (Lucene
+            # classic-parser semantics)
+            if self.take() != "(":
+                raise QueryParseError(
+                    f"field clause {t[1]!r}: expected '(' group")
+            node = self.or_expr()
+            if self.take() != ")":
+                raise QueryParseError("unbalanced parentheses")
+            return _scope_field(node, t[1])
         if isinstance(t, Leaf):
             return t
         raise QueryParseError(f"unexpected token {t!r}")
+
+
+def _scope_field(node, f: str):
+    """Apply a field-group's field to every leaf without one."""
+    if isinstance(node, Leaf):
+        if node.field is None:
+            return Leaf(node.kind, f, node.text, node.param, node.boost)
+        return node
+    if isinstance(node, tuple):        # (occur, node) from unary
+        return (node[0], _scope_field(node[1], f))
+    return Bool(node.op, tuple((o, _scope_field(c, f))
+                               for o, c in node.clauses))
 
 
 def _merge(op: str, parts: list) -> Bool:

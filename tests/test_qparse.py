@@ -280,3 +280,33 @@ def test_negated_phrase(engine):
     # and the surviving docs score identically to the plain query
     plain = dict(_hits(engine.search(t("def"), k=10 ** 6)))
     assert all(abs(plain[d] - s) < 1e-12 for d, s in got)
+
+
+def test_parse_field_scoped_group():
+    n = parse("lang:(py OR go) table")
+    (_, grp), (_, tbl) = n.clauses
+    leaves = [c for _, c in grp.clauses]
+    assert [c.field for c in leaves] == ["lang", "lang"]
+    assert [c.text for c in leaves] == [("py",), ("go",)]
+    assert tbl.field is None
+    # explicit inner fields win; nested groups scope through
+    n2 = parse("lang:(py content:def (go ruby))")
+    flat = []
+
+    def walk(x):
+        if isinstance(x, Leaf):
+            flat.append((x.field, x.text[0]))
+        else:
+            for _, c in x.clauses:
+                walk(c)
+    walk(n2)
+    assert flat == [("lang", "py"), ("content", "def"),
+                    ("lang", "go"), ("lang", "ruby")]
+    with pytest.raises(QueryParseError):
+        parse("lang:(py")
+
+
+def test_field_group_compiles_like_explicit_fields(engine):
+    got = _hits(search_string(engine, "content:(def return) tok50", k=10))
+    want = _hits(search_string(engine, "def return tok50", k=10))
+    assert got == want and got
