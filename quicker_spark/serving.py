@@ -338,6 +338,41 @@ class LocalSearcher:
                             kind="mergesort")
         return sl["term"].head(int(max_expansions)).tolist()
 
+    def suggest(self, field: str, word: str, max_edits: int = 2,
+                prefix_len: int = 1, n: int = 5) -> pd.DataFrame:
+        """Spell suggestion from the local term-stats files — same
+        contract, exclusions, and (distance asc, df desc, word asc)
+        ranking as :meth:`SearchEngine.suggest`; returns pandas
+        (word, distance, df)."""
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        word = str(word).lower()
+        pref = f"{field}\x01{word[:prefix_len]}" if prefix_len \
+            else f"{field}\x01"
+        sl = self._dict_slice(pref)
+        empty = pd.DataFrame({"word": pd.Series(dtype=object),
+                              "distance": pd.Series(dtype=np.int64),
+                              "df": pd.Series(dtype=np.int64)})
+        if not len(sl):
+            return empty
+        words = sl["term"].str[len(field) + 1:]
+        sl = sl.assign(word=words)
+        sl = sl[(sl["word"].str.len() - len(word)).abs()
+                <= int(max_edits)]
+        if not len(sl):
+            return empty
+        sl = sl.assign(distance=sl["word"].map(
+            lambda t: _levenshtein(t, word)))
+        sl = sl[(sl["distance"] <= int(max_edits))
+                & (sl["word"] != word)]
+        sl = sl.sort_values(["distance", "df_global", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort").head(int(n))
+        return pd.DataFrame({
+            "word": sl["word"].to_numpy(dtype=object),
+            "distance": sl["distance"].to_numpy(dtype=np.int64),
+            "df": sl["df_global"].to_numpy(dtype=np.int64)})
+
     # -- serving ------------------------------------------------------------
     def search(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
                or_flags: tuple = (), mode: str = "auto",

@@ -267,3 +267,13 @@ def test_search_string_phrase_local_identity(eng, ls):
         got = list(zip(got_pdf["doc_id"].tolist(),
                        got_pdf["score"].tolist()))
         assert got == want and got
+
+
+def test_suggest_identity(eng, ls):
+    for w, me in (("tok5", 2), ("def", 1), ("zzzz", 1)):
+        want = [(r["word"], r["distance"], r["df"]) for r in
+                eng.suggest("content", w, max_edits=me, n=5).collect()]
+        got_pdf = ls.suggest("content", w, max_edits=me, n=5)
+        got = list(zip(got_pdf["word"], got_pdf["distance"].tolist(),
+                       got_pdf["df"].tolist()))
+        assert got == want

@@ -310,3 +310,24 @@ def test_field_group_compiles_like_explicit_fields(engine):
     got = _hits(search_string(engine, "content:(def return) tok50", k=10))
     want = _hits(search_string(engine, "def return tok50", k=10))
     assert got == want and got
+
+
+def test_phrase_clause_composes_with_paging_and_msm_guard(engine):
+    # paging cursor inside a phrase-clause query: page 2 tiles the
+    # total order exactly (the cursor filter runs in the same TAAT
+    # kernel the phrase candidates feed)
+    qs = '+"def tok50"~4 return'
+    full = _hits(search_string(engine, qs, k=50))
+    if len(full) > 3:
+        cursor = full[2]
+        from quicker_spark.plans.qparse import compile_string
+        c = compile_string(engine, qs)
+        page2 = _hits(engine.search(c.tree, k=47, phrases=c.phrases,
+                                    boosts=c.boosts or None,
+                                    after=(cursor[1], cursor[0])))
+        assert page2 == full[3:]
+    # pruned modes refuse phrase trees loudly
+    from quicker_spark.plans.qparse import compile_string
+    c = compile_string(engine, qs)
+    with pytest.raises(ValueError, match="phrase"):
+        engine.search(c.tree, k=5, phrases=c.phrases, mode="wand")
