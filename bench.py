@@ -214,6 +214,11 @@ def main() -> None:
         lambda: eng.search(or_q, k=10,
                            exclude=NewTermQuery("content", "spark"))
         .collect())
+    timings["boosting_top10"] = median_time(
+        lambda: eng.search(or_q, k=10,
+                           demote=NewTermQuery("content", "join"),
+                           demote_factor=0.5)
+        .collect())
     timings["sorted_top12"] = median_time(
         lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
     timings["facet_stats"] = median_time(

@@ -1207,6 +1207,28 @@ def q_bm25_not_top10(spark, sf_dir):
     return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
 
 
+DEMOTE_TERM = "join"
+DEMOTE_FACTOR = 0.5
+
+
+def q_boosting_top10(spark, sf_dir):
+    """Boosting query (ES ``boosting``: positive + negative /
+    negative_boost): BM25 top-10 of the flat-OR query where docs
+    containing DEMOTE_TERM keep their place in the candidate set but
+    have their summed score multiplied by DEMOTE_FACTOR IN-KERNEL —
+    demotion, not exclusion (the `bm25_not_top10` contrast: exclude
+    REMOVES those docs). One float64 multiply after the fixed-order
+    summation, applied before the top-k so the demoted rank order is
+    what pages and merges; demote-only terms are scanned to evaluate
+    the match, never scored. The oracle applies the identical
+    CASE-multiply over the same BM25 scores."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search(_bm25_query(), k=10,
+                      demote=NewTermQuery("content", DEMOTE_TERM),
+                      demote_factor=DEMOTE_FACTOR)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
+
 def q_bool_not(spark, sf_dir):
     """Boolean must_not (beyond the reference's And/Or IR, the ES
     bool-query shape): docs containing 'table' but NOT 'merge'. Both
@@ -1534,6 +1556,7 @@ QUERIES = {
     "querystring_nestednot_top10": q_querystring_nestednot_top10,
     "stream_hourly_append": q_stream_hourly_append,
     "ivf_ann_prune10": q_ivf_ann_prune10,
+    "boosting_top10": q_boosting_top10,
     # -- r4 driver-certified, rotated behind the fresh components ------
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
@@ -2063,6 +2086,18 @@ ORDER BY score DESC, doc_id LIMIT 10
         "INTERSECT SELECT doc_id FROM toks WHERE term = 'merge'"
     ),
     "bm25_not_top10": sql_bm25_topk(exclude_terms=(NOT_TERM,)),
+    # boosting query: same BM25 scores, then the identical one-multiply
+    # demotion (CASE ... * factor) the kernel applies, re-ranked — the
+    # WITH chain continues through `project` (dem = demote match set)
+    "boosting_top10": sql_bm25_topk(project=(
+        f", dem AS (SELECT DISTINCT doc_id FROM toks "
+        f"WHERE term = '{DEMOTE_TERM}'), "
+        "final AS (SELECT s.doc_id, "
+        f"CASE WHEN s.doc_id IN (SELECT doc_id FROM dem) "
+        f"THEN s.score * {DEMOTE_FACTOR} ELSE s.score END AS score "
+        "FROM scores s) "
+        "SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 "
+        "FROM final ORDER BY score DESC, doc_id LIMIT 10")),
     "bool_not": (
         f"WITH toks AS ({SQL_TOKS}) "
         "SELECT doc_id FROM toks WHERE term = 'table' "

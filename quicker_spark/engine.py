@@ -125,6 +125,8 @@ class SearchSpec(NamedTuple):
     after: tuple[float, int] | None
     empty: bool   # request is valid but can match nothing
     phrases: tuple = ()   # validated PhraseSpec clauses
+    demote_json: str | None = None   # ES boosting-query negative tree
+    demote_factor: float = 1.0       # ES negative_boost
 
 
 def resolve_search_spec(q: TermQuery, mode: str = "auto",
@@ -132,25 +134,44 @@ def resolve_search_spec(q: TermQuery, mode: str = "auto",
                         after: tuple[float, int] | None = None,
                         exclude: TermQuery | None = None,
                         min_should_match: int = 0,
-                        phrases: tuple = ()) -> SearchSpec:
+                        phrases: tuple = (),
+                        demote: TermQuery | None = None,
+                        demote_factor: float = 0.5) -> SearchSpec:
     """Validate a BM25 top-k request and resolve its scoring strategy.
 
     Raises the same ValueErrors for the same invalid requests on every
     serving path; `empty=True` marks a request that is valid but can
     match nothing (no terms, or an unreachable quorum).
 
-    Nested ``must_not`` in either tree and phrase pseudo-leaves
-    (``phrases``) force the exhaustive scorer — the pruned scorers'
-    block-max bookkeeping cannot subtract or intersect candidate sets
-    losslessly mid-walk. Scored terms = the tree's POSITIVE real
-    leaves + the words of score_words phrases; negated-subtree terms
-    join ``neg_terms`` (scanned for evaluation, never scored)."""
+    Nested ``must_not`` in either tree, phrase pseudo-leaves
+    (``phrases``), and a ``demote`` tree all force the exhaustive
+    scorer — the pruned scorers' block-max bookkeeping cannot
+    subtract, intersect, or rescale candidate sets losslessly
+    mid-walk. Scored terms = the tree's POSITIVE real leaves + the
+    words of score_words phrases; negated-subtree and demote-only
+    terms join ``neg_terms`` (scanned for evaluation, never scored).
+
+    ``demote`` (ES boosting-query ``negative`` clause): candidates
+    matching it keep their place in the result but their score is
+    multiplied by ``demote_factor`` (ES ``negative_boost``, required
+    in [0, 1]) before the cursor and the top-k."""
     phrases = tuple(PhraseSpec(*p) for p in phrases)
     all_terms = q.terms()
     pseudo_in_trees = {t for t in all_terms if t.startswith(PSEUDO_PREFIX)}
     if exclude is not None:
         pseudo_in_trees |= {t for t in exclude.terms()
                             if t.startswith(PSEUDO_PREFIX)}
+    if demote is not None and demote.empty():
+        demote = None
+    if demote is not None:
+        if not (0.0 <= float(demote_factor) <= 1.0):
+            raise ValueError(
+                f"demote_factor must be in [0, 1] (ES negative_boost): "
+                f"{demote_factor}")
+        if any(t.startswith(PSEUDO_PREFIX) for t in demote.terms()):
+            raise ValueError(
+                "phrase pseudo-leaves are not supported in a demote "
+                "tree — demote by terms, or exclude the phrase instead")
     spec_keys = {p.key for p in phrases}
     if pseudo_in_trees - spec_keys:
         raise ValueError(
@@ -175,14 +196,14 @@ def resolve_search_spec(q: TermQuery, mode: str = "auto",
     if not terms and not phrases:
         return SearchSpec([], "taat", 0, frozenset(), None, None, True)
     empty = False
-    needs_taat = bool(phrases) or q.has_must_not() \
+    needs_taat = bool(phrases) or demote is not None or q.has_must_not() \
         or (exclude is not None and exclude.has_must_not())
     if needs_taat:
         if mode not in ("auto", "taat"):
             raise ValueError(
-                "nested must_not / phrase clauses require mode='auto' "
-                "or 'taat' (pruned scorers cannot subtract or intersect "
-                "candidate sets losslessly)")
+                "nested must_not / phrase / demote clauses require "
+                "mode='auto' or 'taat' (pruned scorers cannot subtract, "
+                "intersect, or rescale candidate sets losslessly)")
         mode = "taat"
     msm = int(min_should_match)
     if msm > 1:
@@ -211,6 +232,12 @@ def resolve_search_spec(q: TermQuery, mode: str = "auto",
                     "exclude requires mode='auto' or 'taat' (pruned "
                     "scorers cannot exclude losslessly)")
             mode = "taat"
+    demote_json = None
+    if demote is not None:
+        # demote-only terms: scanned so the kernel can evaluate the
+        # demotion match, excluded from scoring — same split as exclude
+        neg_terms |= set(demote.terms()) - set(terms)
+        demote_json = demote.to_json()
     if boosts:
         bad = {t: w for t, w in boosts.items() if not w > 0}
         if bad:
@@ -240,7 +267,8 @@ def resolve_search_spec(q: TermQuery, mode: str = "auto",
                 "use mode='auto' or 'taat' for nested trees")
         strategy = mode
     return SearchSpec(terms, strategy, msm, frozenset(neg_terms),
-                      exclude_json, after, empty, phrases)
+                      exclude_json, after, empty, phrases,
+                      demote_json, float(demote_factor))
 
 
 def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
@@ -254,7 +282,9 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
                         exclude: dict | None = None,
                         exclude_only: frozenset = frozenset(),
                         min_match: int = 0,
-                        extra_leaf_ids: dict | None = None):
+                        extra_leaf_ids: dict | None = None,
+                        demote: dict | None = None,
+                        demote_factor: float = 1.0):
     """Score ONE query against one segment's posting rows (``pdf``: one
     row per query term present in the segment) -> (doc_ids, scores).
 
@@ -336,7 +366,8 @@ def _score_segment_rows(pdf: pd.DataFrame, query: dict, strategy: str,
     return score_segment_exhaustive(
         query, decoded, idf, avgdl, k, on, off, or_flags, k1, b,
         after=after, exclude=exclude, exclude_only=exclude_only,
-        min_match=min_match, extra_leaf_ids=extra_leaf_ids)
+        min_match=min_match, extra_leaf_ids=extra_leaf_ids,
+        demote=demote, demote_factor=demote_factor)
 
 
 def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
@@ -347,7 +378,9 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
                       exclude_json: str | None = None,
                       exclude_only: tuple = (),
                       min_match: int = 0,
-                      phrases: tuple = ()):
+                      phrases: tuple = (),
+                      demote_json: str | None = None,
+                      demote_factor: float = 1.0):
     """The idf arrives as a ``df_global`` column broadcast-joined onto
     the postings rows — no per-query driver collect of term stats (one
     less Spark job per search; at 10^12 docs the global term-stats table
@@ -363,6 +396,7 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
     query = json.loads(query_json)
     boost_map = dict(boosts) if boosts else None
     exclude = json.loads(exclude_json) if exclude_json else None
+    demote = json.loads(demote_json) if demote_json else None
     excl_only = frozenset(exclude_only)
     phrase_specs = tuple(PhraseSpec(*p) for p in phrases)
 
@@ -392,7 +426,8 @@ def _make_topk_kernel(query_json: str, n_docs: int, avgdl: float,
             pdf, query, strategy, n_query_terms, n_docs, avgdl,
             k, on, off, or_flags, k1, b, block_size, boosts=boost_map,
             after=after, exclude=exclude, exclude_only=excl_only,
-            min_match=min_match, extra_leaf_ids=extra)
+            min_match=min_match, extra_leaf_ids=extra,
+            demote=demote, demote_factor=demote_factor)
         return pd.DataFrame({"doc_id": ids, "score": scores})
 
     return kernel
@@ -693,7 +728,9 @@ class SearchEngine:
                exclude: TermQuery | None = None,
                min_should_match: int = 0,
                hydrate: bool = False,
-               phrases: tuple = ()) -> DataFrame:
+               phrases: tuple = (),
+               demote: TermQuery | None = None,
+               demote_factor: float = 0.5) -> DataFrame:
         """BM25 top-k. Returns (doc_id, score) ordered by (score desc,
         doc_id asc); with ``hydrate`` also the business columns.
 
@@ -748,9 +785,19 @@ class SearchEngine:
         scan becomes postings-for-scored-terms UNION sidecar-rows-for-
         phrase-terms, one Arrow kernel per segment either way — same
         plan shape, same top-k merge. Forces TAAT.
+
+        ``demote``/``demote_factor`` (ES boosting query): candidates
+        matching the ``demote`` tree stay in the result but their score
+        is multiplied by ``demote_factor`` (ES ``negative_boost``,
+        in [0, 1]) — softer than ``exclude``, which removes them.
+        Demote-only terms are scanned to evaluate the match, never
+        scored. Forces TAAT; applied before the cursor and the top-k,
+        so paging stays consistent with the demoted rank order.
         """
         spec = resolve_search_spec(q, mode, boosts, after, exclude,
-                                   min_should_match, phrases=phrases)
+                                   min_should_match, phrases=phrases,
+                                   demote=demote,
+                                   demote_factor=demote_factor)
         if spec.empty:
             return self._empty_hits(hydrate)
         terms, strategy, msm = spec.terms, spec.strategy, spec.msm
@@ -763,6 +810,7 @@ class SearchEngine:
             boosts=tuple(sorted((boosts or {}).items())), after=after,
             exclude_json=exclude_json, exclude_only=tuple(sorted(neg_terms)),
             min_match=msm, phrases=spec.phrases,
+            demote_json=spec.demote_json, demote_factor=spec.demote_factor,
         )
         scan_terms = set(terms) | neg_terms
         ts = F.broadcast(

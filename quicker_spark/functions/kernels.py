@@ -394,6 +394,8 @@ def score_segment_exhaustive(
     exclude_only: frozenset = frozenset(),
     min_match: int = 0,
     extra_leaf_ids: dict[str, np.ndarray] | None = None,
+    demote: dict | None = None,
+    demote_factor: float = 1.0,
 ):
     """Boolean-filter + BM25-score one segment, vectorized TAAT.
 
@@ -413,6 +415,13 @@ def score_segment_exhaustive(
     ``extra_leaf_ids``: pre-computed candidate id arrays for
     pseudo-leaves in the tree (phrase match sets) — they join candidate
     evaluation but NEVER score (no posting run in ``term_postings``).
+    ``demote``: optional tree (ES boosting-query ``negative`` clause):
+    candidates matching it STAY in the result but have their summed
+    score multiplied by ``demote_factor`` (ES ``negative_boost``) —
+    one float64 multiply after the fixed-order summation, applied
+    BEFORE the paging cursor and the top-k so cursors page within the
+    demoted rank order. Demote-only terms ride ``exclude_only`` (they
+    gate the demotion match, never contribute score).
     Returns (doc_ids, scores) of the segment-local top-k, ordered by
     (score desc, doc_id asc).
     """
@@ -453,6 +462,14 @@ def score_segment_exhaustive(
         pos_c = np.clip(pos, 0, fids.size - 1)
         hit = fids[pos_c] == cands
         scores[hit] += idf.get(t, 0.0) * u[pos_c[hit]]
+
+    if demote is not None:
+        dem = eval_bool_tree(demote, leaf_ids)
+        if dem.size:
+            pos = np.searchsorted(dem, cands)
+            pos_c = np.clip(pos, 0, dem.size - 1)
+            hit = dem[pos_c] == cands
+            scores[hit] = scores[hit] * np.float64(demote_factor)
 
     if after is not None:
         cands, scores = _rank_after(cands, scores, after)

@@ -152,13 +152,20 @@ class Oracle:
         return s
 
     def search_topk(self, q: TermQuery, k: int = 10, on: int = 0, off: int = 0,
-                    or_flags=()) -> list[OracleHit]:
+                    or_flags=(), demote: TermQuery | None = None,
+                    demote_factor: float = 0.5) -> list[OracleHit]:
         """Candidates = boolean tree matches (bit-filtered); score = sum of
         BM25 over the tree's distinct POSITIVE leaf terms (negated
-        subtrees never score); ties -> doc_id asc."""
+        subtrees never score); ties -> doc_id asc. ``demote``: candidates
+        matching it keep their place but score *= demote_factor — one
+        float64 multiply after the summation, the same operation order
+        as the engine kernel (ES boosting-query semantics)."""
         cands = self.eval_bool(q, on, off, or_flags)
         terms = q.pos_terms()
-        scored = [(-self.score(d, terms), d) for d in cands]
+        dem = (set(self.eval_bool(demote, on, off, or_flags))
+               if demote is not None else ())
+        scored = [(-(self.score(d, terms) * demote_factor) if d in dem
+                   else -self.score(d, terms), d) for d in cands]
         scored.sort()
         return [
             OracleHit(d, self.docs[d]["id"], -neg) for neg, d in scored[:k]

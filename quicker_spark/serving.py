@@ -380,20 +380,26 @@ class LocalSearcher:
                after: tuple[float, int] | None = None,
                exclude: TermQuery | None = None,
                min_should_match: int = 0,
-               phrases: tuple = ()) -> pd.DataFrame:
+               phrases: tuple = (),
+               demote: TermQuery | None = None,
+               demote_factor: float = 0.5) -> pd.DataFrame:
         """BM25 top-k -> pandas (doc_id, score), ordered (score desc,
         doc_id asc) — same contract, arguments, validation errors, and
         bitwise scores as :meth:`SearchEngine.search` (including
         ``phrases`` pseudo-leaf clauses, served from the local
-        positional sidecar)."""
+        positional sidecar, and ``demote`` boosting-query trees)."""
         self._check_fresh()
         spec = resolve_search_spec(q, mode, boosts, after, exclude,
-                                   min_should_match, phrases=phrases)
+                                   min_should_match, phrases=phrases,
+                                   demote=demote,
+                                   demote_factor=demote_factor)
         if spec.empty:
             return _empty_hits()
         query = json.loads(q.to_json())
         exclude_tree = (json.loads(spec.exclude_json)
                         if spec.exclude_json else None)
+        demote_tree = (json.loads(spec.demote_json)
+                       if spec.demote_json else None)
         pdf = self._gather(set(spec.terms) | set(spec.neg_terms))
         if len(pdf) == 0:
             return _empty_hits()
@@ -416,7 +422,8 @@ class LocalSearcher:
                 dec_cache=self._seg_dec.setdefault(seg, {}),
                 boosts=boosts, after=spec.after, exclude=exclude_tree,
                 exclude_only=spec.neg_terms, min_match=spec.msm,
-                extra_leaf_ids=extra_by_seg.get(seg))
+                extra_leaf_ids=extra_by_seg.get(seg),
+                demote=demote_tree, demote_factor=spec.demote_factor)
 
         if self.threads > 1 and len(groups) > 1:
             # the reference's per-worker scatter: disjoint segments score
