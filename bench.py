@@ -219,6 +219,12 @@ def main() -> None:
                            demote=NewTermQuery("content", "join"),
                            demote_factor=0.5)
         .collect())
+    timings["rescore_top10"] = median_time(
+        lambda: eng.search_rescore(
+            or_q, And(NewTermQuery("content", "hash"),
+                      NewTermQuery("content", "join")),
+            k=10, window_size=30, rescore_weight=2.0)
+        .collect())
     timings["sorted_top12"] = median_time(
         lambda: eng.search_sorted(or_q, by="doc_len", k=12).collect())
     timings["facet_stats"] = median_time(

@@ -1210,6 +1210,29 @@ def q_bm25_not_top10(spark, sf_dir):
 DEMOTE_TERM = "join"
 DEMOTE_FACTOR = 0.5
 
+RESCORE_TERMS = ("hash", "join")
+RESCORE_WINDOW = 30
+RESCORE_WEIGHT = 2.0
+
+
+def q_rescore_top10(spark, sf_dir):
+    """Two-phase ranking (ES ``rescore``, score_mode=total): the flat-OR
+    primary query ranks the corpus, the global top-RESCORE_WINDOW docs
+    are re-ranked as 1.0*primary + RESCORE_WEIGHT*secondary where
+    secondary is the AND-rescorer's BM25 score (0 where it doesn't
+    match — a partial AND match is no match). The expensive rescorer
+    runs ONCE over its own match set (`_scored_matches`) instead of
+    inside every candidate's scoring loop; the combine is a broadcast
+    join of the k-bounded window. The oracle reproduces both scoring
+    passes and the same weighted combine over the same window."""
+    eng = get_engine(spark, sf_dir)
+    hits = eng.search_rescore(
+        _bm25_query(),
+        And(*[NewTermQuery("content", t) for t in RESCORE_TERMS]),
+        k=10, window_size=RESCORE_WINDOW,
+        query_weight=1.0, rescore_weight=RESCORE_WEIGHT)
+    return hits.select("doc_id", x4(F.col("score")).alias("score_x4"))
+
 
 def q_boosting_top10(spark, sf_dir):
     """Boosting query (ES ``boosting``: positive + negative /
@@ -1557,6 +1580,7 @@ QUERIES = {
     "stream_hourly_append": q_stream_hourly_append,
     "ivf_ann_prune10": q_ivf_ann_prune10,
     "boosting_top10": q_boosting_top10,
+    "rescore_top10": q_rescore_top10,
     # -- r4 driver-certified, rotated behind the fresh components ------
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
@@ -2096,6 +2120,35 @@ ORDER BY score DESC, doc_id LIMIT 10
         f"CASE WHEN s.doc_id IN (SELECT doc_id FROM dem) "
         f"THEN s.score * {DEMOTE_FACTOR} ELSE s.score END AS score "
         "FROM scores s) "
+        "SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 "
+        "FROM final ORDER BY score DESC, doc_id LIMIT 10")),
+    # rescore: primary scores (the generator's `scores` CTE) feed a
+    # top-window; a SECOND full BM25 pass over the rescore terms
+    # (restricted to its AND match set) left-joins onto the window with
+    # the same weighted combine the engine computes
+    "rescore_top10": sql_bm25_topk(project=(
+        ", rtf AS (SELECT doc_id, term, count(*)::double AS tf FROM toks "
+        f"WHERE term IN ('{RESCORE_TERMS[0]}','{RESCORE_TERMS[1]}') "
+        "GROUP BY doc_id, term), "
+        "rdf AS (SELECT term, count(DISTINCT doc_id)::double AS dfv "
+        f"FROM toks WHERE term IN ('{RESCORE_TERMS[0]}','{RESCORE_TERMS[1]}') "
+        "GROUP BY term), "
+        "ridf AS (SELECT term, ln((stats.n - dfv + 0.5) / (dfv + 0.5) "
+        "+ 1.0) AS idf FROM rdf, stats), "
+        "rcand AS (SELECT doc_id FROM rtf GROUP BY doc_id "
+        f"HAVING count(DISTINCT term) = {len(RESCORE_TERMS)}), "
+        "rscores AS (SELECT rtf.doc_id, "
+        "sum(ridf.idf * (rtf.tf * (1.2 + 1.0)) / "
+        "(rtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) "
+        "AS score FROM rtf JOIN dl ON rtf.doc_id = dl.doc_id "
+        "JOIN ridf ON rtf.term = ridf.term CROSS JOIN stats "
+        "WHERE rtf.doc_id IN (SELECT doc_id FROM rcand) "
+        "GROUP BY rtf.doc_id), "
+        "win AS (SELECT doc_id, score FROM scores "
+        f"ORDER BY score DESC, doc_id LIMIT {RESCORE_WINDOW}), "
+        "final AS (SELECT w.doc_id, "
+        f"1.0 * w.score + coalesce({RESCORE_WEIGHT} * r.score, 0.0) "
+        "AS score FROM win w LEFT JOIN rscores r ON w.doc_id = r.doc_id) "
         "SELECT doc_id, round(score * 10000.0)::bigint AS score_x4 "
         "FROM final ORDER BY score DESC, doc_id LIMIT 10")),
     "bool_not": (

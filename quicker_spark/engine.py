@@ -1491,6 +1491,53 @@ class SearchEngine:
                 .groupBy("segment_id")
                 .applyInPandas(kern, "doc_id long, score double"))
 
+    def search_rescore(self, q: TermQuery, rescore_q: TermQuery,
+                       k: int = 10, window_size: int = 50,
+                       query_weight: float = 1.0,
+                       rescore_weight: float = 1.0,
+                       on: int = 0, off: int = 0,
+                       or_flags: tuple = (),
+                       hydrate: bool = False) -> DataFrame:
+        """Two-phase ranking (ES ``rescore``, score_mode=total): phase 1
+        ranks with the (cheap) primary query ``q`` and keeps the global
+        top ``window_size``; phase 2 re-ranks ONLY that window as
+
+            query_weight * primary + rescore_weight * secondary
+
+        where secondary is ``rescore_q``'s BM25 score for the doc — 0
+        when the doc does not match it (ES: a rescorer contributes only
+        where it matches; a partial match of an AND rescorer is no
+        match). Returns the window's top-k under the combined score
+        (ties doc_id asc).
+
+        Plan shape: the window is k-bounded driver state (a broadcast
+        side), the secondary pass is :meth:`_scored_matches` — cost
+        proportional to ``rescore_q``'s match set, never the corpus —
+        and the combine is one broadcast-hash join + TakeOrdered. The
+        expensive rescorer runs once over its match set instead of
+        inside every primary candidate's scoring loop, which is the
+        entire point of the ES rescore window. No reference analog
+        (single-phase ranking only, index_service/sentinel.go:137-187);
+        Lucene/ES ``QueryRescorer`` semantics."""
+        if window_size < k:
+            raise ValueError(
+                f"window_size ({window_size}) must be >= k ({k}) — "
+                "the rescore phase only sees the window")
+        win = (self.search(q, k=window_size, on=on, off=off,
+                           or_flags=or_flags)
+               .withColumnRenamed("score", "p_score"))
+        sec = (self._scored_matches(rescore_q, on, off, tuple(or_flags))
+               .withColumnRenamed("score", "r_score"))
+        combined = (F.lit(float(query_weight)) * F.col("p_score")
+                    + F.coalesce(
+                        F.lit(float(rescore_weight)) * F.col("r_score"),
+                        F.lit(0.0)))
+        hits = (F.broadcast(win)
+                .join(sec, "doc_id", "left")
+                .select("doc_id", combined.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        return self.hydrate(hits) if hydrate else hits
+
     def search_collapse(self, q: TermQuery, by: str = "lang", k: int = 10,
                         on: int = 0, off: int = 0,
                         or_flags: tuple = ()) -> DataFrame:

@@ -445,6 +445,42 @@ class LocalSearcher:
         return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
                              "score": scores[order]})
 
+    def search_rescore(self, q: TermQuery, rescore_q: TermQuery,
+                       k: int = 10, window_size: int = 50,
+                       query_weight: float = 1.0,
+                       rescore_weight: float = 1.0,
+                       on: int = 0, off: int = 0,
+                       or_flags: tuple = ()) -> pd.DataFrame:
+        """Two-phase ranking (ES rescore, score_mode=total) — same
+        contract, errors, and bitwise scores as
+        :meth:`SearchEngine.search_rescore`: primary top-window from the
+        resident postings, secondary = the rescore query's full scored
+        match set (the same TAAT kernel with nothing dropped), combined
+        as query_weight * primary + rescore_weight * secondary (0 where
+        the rescorer doesn't match), top-k ties doc_id asc."""
+        if window_size < k:
+            raise ValueError(
+                f"window_size ({window_size}) must be >= k ({k}) — "
+                "the rescore phase only sees the window")
+        win = self.search(q, k=window_size, on=on, off=off,
+                          or_flags=or_flags)
+        if not len(win):
+            return _empty_hits()
+        # full scored match set: keep-all top-k (nothing dropped)
+        sec = self.search(rescore_q, k=2 ** 62, on=on, off=off,
+                          or_flags=or_flags, mode="taat")
+        r = dict(zip(sec["doc_id"].to_numpy(),
+                     sec["score"].to_numpy()))
+        qw, rw = float(query_weight), float(rescore_weight)
+        comb = np.array([qw * s + (rw * r[d] if d in r else 0.0)
+                         for d, s in zip(win["doc_id"].to_numpy(),
+                                         win["score"].to_numpy())],
+                        dtype=np.float64)
+        ids = win["doc_id"].to_numpy()
+        order = np.lexsort((ids, -comb))[:k]
+        return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
+                             "score": comb[order]})
+
     def search_phrase(self, words, field: str = "content", k: int = 10,
                       on: int = 0, off: int = 0, or_flags: tuple = (),
                       gap: int = 0) -> pd.DataFrame:
